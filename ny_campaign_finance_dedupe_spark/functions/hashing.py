@@ -1,0 +1,149 @@
+"""MinHash / SimHash — the scale replacements for index predicates.
+
+The reference's approximate-similarity blocking is TF-IDF canopies over a
+driver-side inverted index (dedupe/predicates.py:248-305,
+canopy_index.py:14-61) — a corpus-global mutable structure that cannot
+exist on a 1000-executor cluster. The standard shared-nothing
+replacement (Broder '97 minwise hashing, Charikar '02 simhash — see
+PAPERS.md) needs only per-row computation + a shuffle on band keys:
+
+  shingles -> xxhash64 (JVM-side) -> k universal-hash permutations ->
+  per-permutation min  =>  signature;  bands of r rows  =>  block keys.
+
+Base shingle hashing is Spark's native ``xxhash64`` so the expensive
+string hashing never leaves the JVM; the k-permutation min-fold is a
+single Arrow-vectorized numpy pass (O(k·s) per row, zero string work).
+Permutation constants are derived from a fixed seed on the driver and
+closed over — identical on every executor, every run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """array<string> shingles -> array<long> xxhash64 values (JVM-side)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _perm_constants(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_61, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_61, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 7):
+    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+
+    sig[i] = min over shingles of ((a_i * h + b_i) mod M61). Vectorized:
+    one (k x s) numpy broadcast per row batch, Arrow in/out. Rows with
+    null/empty shingles yield null (no keys downstream —
+    predicates.py:64-69 contract).
+    """
+    a, b = _perm_constants(num_perm, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(hs):
+            if hs is None or len(hs) == 0:
+                return None
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (k,1)*(1,s) in uint64: exact mod-2^64 wraparound is fine as a
+            # universal-ish hash family; then mod M61 and min over shingles.
+            v = (a_u[:, None] * h[None, :] + b_u[:, None]) % np.uint64(MERSENNE_61)
+            return v.min(axis=1).astype(np.int64)
+
+        for s in it:
+            yield s.map(one)
+
+    return F.pandas_udf(batch, T.ArrayType(T.LongType()))
+
+
+def minhash_band_keys(sig: Column, bands: int, rows: int, prefix: str = "mh") -> Column:
+    """signature -> array of band block-keys '<prefix><band>:<hash of r rows>'.
+
+    Native: slice + hash per band (hash() is Spark's 64-bit-safe murmur —
+    deterministic within a Spark version, which is all blocking needs:
+    keys only ever compare to keys from the same run).
+    """
+    parts = [
+        F.concat_ws(
+            ":",
+            F.lit(f"{prefix}{i}"),
+            F.hash(F.slice(sig, i * rows + 1, rows)).cast("string"),
+        )
+        for i in range(bands)
+    ]
+    return F.when(sig.isNull(), F.array().cast("array<string>")).otherwise(
+        F.array(*parts)
+    )
+
+
+def simhash_udf(bits: int = 64):
+    """pandas UDF: array<long> token hashes -> long simhash.
+
+    Charikar's scheme: per bit position, sum +-1 over token hashes; sign
+    gives the bit. Vectorized with numpy bit unpacking per batch.
+    """
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(hs):
+            if hs is None or len(hs) == 0:
+                return None
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (s, 64) bit matrix
+            shifts = np.arange(bits, dtype=np.uint64)
+            bitm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = bitm.sum(axis=0) * 2 - len(h)  # (+1/-1 sums)
+            out = np.uint64(0)
+            for i in range(bits):
+                if votes[i] > 0:
+                    out |= np.uint64(1) << np.uint64(i)
+            return np.int64(out.astype(np.int64))
+
+        for s in it:
+            yield s.map(one)
+
+    return F.pandas_udf(batch, T.LongType())
+
+
+def simhash_band_keys(
+    sim: Column, bands: int = 4, bits: int = 64, prefix: str = "sh"
+) -> Column:
+    """64-bit simhash -> array of band keys (16-bit chunks by default).
+
+    Two pages within Hamming distance (bands-1) share >=1 band key —
+    the pigeonhole LSH used in Google's near-dup detection (Manku '07).
+    Native shiftrightunsigned + mask, no Python.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    parts = [
+        F.concat_ws(
+            ":",
+            F.lit(f"{prefix}{i}"),
+            F.shiftrightunsigned(sim, i * width)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .cast("string"),
+        )
+        for i in range(bands)
+    ]
+    return F.when(sim.isNull(), F.array().cast("array<string>")).otherwise(
+        F.array(*parts)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes — native bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))

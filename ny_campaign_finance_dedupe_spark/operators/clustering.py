@@ -1,0 +1,237 @@
+"""Transitive clustering: connected components + skew/confidence passes.
+
+Reference (SURVEY.md §2.7):
+- C1 union-find over the scored edge list (dedupe/clustering.py:101-152)
+- C2 oversize-component threshold escalation: components > 30k nodes get
+  edges re-filtered at (min-score logit + 1) and re-clustered
+  (clustering.py:63-98)
+- C4 per-record confidence 1 - sqrt(mean (1-score)^2 to cluster peers)
+  (clustering.py:241-262)
+- C5 singleton pass-through (api.py:186-195)
+- C8 cluster id = min member id (campaign_finance_dedupe.py:105-110)
+
+Spark shape: union-find cannot exist on a cluster (it is a mutable
+driver-side array); the shared-nothing equivalent is the alternating
+large-star / small-star edge-rewrite of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC '14) — O(log^2 n) rounds, each
+round two shuffles, converging to star graphs whose centers are the
+component minima (which gives C8's min-id labeling for free).
+
+Scale mechanics the driver loop owns (Catalyst can't see across
+iterations — SURVEY.md §4):
+- ``localCheckpoint`` each round truncates lineage (else the plan doubles
+  per iteration and the DAG scheduler chokes by round ~15),
+- convergence via a (count, hash-sum) checksum — one cheap agg, no
+  expensive subtract,
+- ids are hashed to longs first (numeric min beats string min in the
+  shuffle comparator; the url<->long mapping is joined back at the end).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MAX_COMPONENT = 30_000  # dedupe/clustering.py:198
+MAX_CC_ITERS = 50
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighbor."""
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("mn", F.least("mn", "src"))
+    return (
+        und.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point every smaller-or-self neighbor of u at u's min neighbor."""
+    direct = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = direct.groupBy("src").agg(F.min("dst").alias("mn"))
+    nbrs = direct.union(direct.select("src", F.col("src").alias("dst")).distinct())
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = MAX_CC_ITERS
+) -> DataFrame:
+    """edges(src, dst) [long ids] -> (record_id, cluster_id) for every id
+    appearing in an edge; cluster_id = component min (C8).
+
+    Alternating large-star/small-star with lineage truncation per round.
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iters}")
+    # converged: e is (member, root) star edges with root = component min
+    members = e.select(F.col("src").alias("record_id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("record_id"), F.col("dst").alias("cluster_id"))
+    return members.union(roots).distinct()
+
+
+def cluster_edges(
+    scored_pairs: DataFrame,
+    threshold: float = 0.5,
+    id_type: str = "string",
+) -> DataFrame:
+    """scored (src, dst, score) -> (record_id, cluster_id, cluster_score).
+
+    String ids are hashed to longs for the CC loop (xxhash64; at n=10^12
+    collision odds ~ n^2/2^64 make a dedicated 128-bit map advisable — at
+    that scale swap in ``sha2``-based 2x64 split ids; the mapping join
+    below is unchanged). ``cluster_score`` is C4's per-record confidence.
+    """
+    edges = scored_pairs.where(F.col("score") >= threshold)
+    if id_type == "string":
+        idmap = (
+            edges.select(F.col("src").alias("rid"))
+            .union(edges.select(F.col("dst")))
+            .distinct()
+            .select("rid", F.xxhash64("rid").alias("nid"))
+            .localCheckpoint()
+        )
+        nedges = (
+            edges.join(idmap.withColumnRenamed("rid", "src"), "src")
+            .withColumnRenamed("nid", "nsrc")
+            .join(
+                idmap.select(F.col("rid").alias("dst"), F.col("nid").alias("ndst")),
+                "dst",
+            )
+            .select(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+        )
+        comp = connected_components(nedges)
+        comp = (
+            comp.join(idmap.select(F.col("nid").alias("record_id"), "rid"), "record_id")
+            .join(
+                idmap.select(
+                    F.col("nid").alias("cluster_id"), F.col("rid").alias("cluster_rid")
+                ),
+                "cluster_id",
+            )
+            .select(
+                F.col("rid").alias("record_id"),
+                F.col("cluster_rid").alias("cluster_id"),
+            )
+        )
+    else:
+        comp = connected_components(edges.select("src", "dst"))
+    conf = member_confidence(edges, comp)
+    return comp.join(conf, "record_id", "left").select(
+        "record_id",
+        "cluster_id",
+        F.coalesce("cluster_score", F.lit(1.0)).alias("cluster_score"),
+    )
+
+
+def member_confidence(edges: DataFrame, components: DataFrame) -> DataFrame:
+    """C4 (clustering.py:241-262): per record,
+    1 - sqrt(mean over cluster-peer edges of (1-score)^2) — a native agg
+    over the member->edge incidence, no per-cluster Python."""
+    inc = edges.select(
+        F.col("src").alias("record_id"), (1.0 - F.col("score")).alias("d")
+    ).union(edges.select(F.col("dst"), 1.0 - F.col("score")))
+    per = inc.groupBy("record_id").agg(
+        F.sqrt(F.avg(F.col("d") * F.col("d"))).alias("rmse")
+    )
+    _ = components  # peers are exactly the edge endpoints at >= threshold
+    return per.select("record_id", (1.0 - F.col("rmse")).alias("cluster_score"))
+
+
+def add_singletons(
+    records: DataFrame, id_col: str, clustered: DataFrame
+) -> DataFrame:
+    """C5 (api.py:186-195): unclustered records become their own cluster
+    with score 1.0 — left-anti join + union, exactly the SQL twin
+    COALESCE(canon_id, donor_id) (campaign_finance_dedupe.py:376-379)."""
+    singles = (
+        records.select(F.col(id_col).alias("record_id"))
+        .join(clustered.select("record_id"), "record_id", "left_anti")
+        .select(
+            "record_id",
+            F.col("record_id").alias("cluster_id"),
+            F.lit(1.0).alias("cluster_score"),
+        )
+    )
+    return clustered.unionByName(singles)
+
+
+def split_oversize_components(
+    scored_pairs: DataFrame,
+    clustered: DataFrame,
+    threshold: float,
+    max_component: int = MAX_COMPONENT,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """C2 (clustering.py:63-98): components over ``max_component`` members
+    re-filter their edges at logit(min kept score) + 1 and re-cluster,
+    recursing (bounded). The semantic skew guard on top of salting/AQE.
+    """
+    out = clustered
+    for _ in range(max_rounds):
+        sizes = out.groupBy("cluster_id").count()
+        big = sizes.where(F.col("count") > max_component).select("cluster_id")
+        if big.isEmpty():
+            return out
+        big_members = out.join(F.broadcast(big), "cluster_id").select("record_id")
+        bad_edges = (
+            scored_pairs.where(F.col("score") >= threshold)
+            .join(
+                F.broadcast(big_members.withColumnRenamed("record_id", "src")), "src"
+            )
+            .join(
+                F.broadcast(big_members.withColumnRenamed("record_id", "dst")), "dst"
+            )
+        )
+        row = bad_edges.agg(F.min("score").alias("m")).collect()[0]
+        if row["m"] is None:
+            return out
+        import math
+
+        m = min(max(float(row["m"]), 1e-6), 1 - 1e-6)
+        new_thr = 1.0 / (1.0 + math.exp(-(math.log(m / (1 - m)) + 1.0)))
+        recl = cluster_edges(bad_edges, threshold=new_thr)
+        keep = out.join(F.broadcast(big), "cluster_id", "left_anti")
+        # members that fell out of the re-filtered subgraph become singletons
+        dropped = (
+            big_members.join(recl.select("record_id"), "record_id", "left_anti")
+            .select(
+                "record_id",
+                F.col("record_id").alias("cluster_id"),
+                F.lit(1.0).alias("cluster_score"),
+            )
+        )
+        out = keep.unionByName(recl).unionByName(dropped)
+    return out

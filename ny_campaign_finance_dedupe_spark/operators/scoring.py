@@ -1,0 +1,206 @@
+"""Pairwise scoring: feature vectors -> match probability.
+
+Reference: per pair, per field, a comparator produces a float32 distance;
+interactions are row products; NaN -> 0 plus a missing-indicator column
+(dedupe/datamodel.py:74-115); a regularized logistic regression maps the
+feature row to P(match) (dedupe/core.py:149-150, rlr alpha=0.1,
+api.py:952). The whole producer/worker/merge process topology
+(core.py:113-293) collapses to ``withColumn`` over a partitioned
+DataFrame — Spark's partition parallelism IS the process pool, shuffle
+spill IS the memmap.
+
+Spark-first feature set (all native Catalyst expressions, codegen'd,
+no Python in the hot path):
+  f_cosine   token-set cosine            (Set variable, variables/set.py:6-27)
+  f_jaccard  token-set Jaccard           (TF-IDF-cosine stand-in per north_star)
+  f_lev      levenshtein ratio, prefix-bounded  (String affine-gap analog,
+             variables/string.py:45-75; F.levenshtein is JVM-native)
+  f_len      length ratio
+  f_missing  1 - both-present indicator  (datamodel.py:107-113)
+
+``jaro_winkler_udf`` is the Custom-comparator extension point
+(variables/base.py:75-91): an Arrow-batched pandas UDF, off the default
+path because f_lev already covers edit similarity JVM-side.
+
+The classifier is a broadcast-weight sigmoid column expression — a dot
+product folded into whole-stage codegen; training happens once,
+driver-side, on the (small, by construction) labeled-pairs set exactly
+like the reference's offline ``classifier.fit`` (api.py:1043-1044).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+FEATURES = ["f_cosine", "f_jaccard", "f_lev", "f_len", "f_missing"]
+# Levenshtein is O(len^2) per pair: bound it like the reference bounds
+# comparator cost by comparing normalized short fields. 120 chars of
+# normalized text is the "name line" of a page.
+LEV_PREFIX = 120
+
+
+def feature_columns(text_a: Column, text_b: Column) -> dict[str, Column]:
+    """Native feature expressions over two normalized-text columns."""
+    ta = F.split(text_a, r"\s+")
+    tb = F.split(text_b, r"\s+")
+    sa = F.array_distinct(ta)
+    sb = F.array_distinct(tb)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    na = F.size(sa).cast("double")
+    nb = F.size(sb).cast("double")
+    cosine = inter / F.sqrt(na * nb)
+    jaccard = inter / (na + nb - inter)
+    pa = F.substring(text_a, 1, LEV_PREFIX)
+    pb = F.substring(text_b, 1, LEV_PREFIX)
+    lev = 1.0 - F.levenshtein(pa, pb) / F.greatest(
+        F.length(pa), F.length(pb), F.lit(1)
+    )
+    ln = F.least(F.length(text_a), F.length(text_b)) / F.greatest(
+        F.length(text_a), F.length(text_b), F.lit(1)
+    )
+    present = text_a.isNotNull() & text_b.isNotNull()
+    # NaN->0 + missing indicator (datamodel.py:96-115)
+    feats = {
+        "f_cosine": cosine,
+        "f_jaccard": jaccard,
+        "f_lev": lev,
+        "f_len": ln,
+    }
+    out = {
+        k: F.when(present, F.coalesce(v.cast("double"), F.lit(0.0))).otherwise(0.0)
+        for k, v in feats.items()
+    }
+    out["f_missing"] = (~present).cast("double")
+    return out
+
+
+def with_features(
+    pairs: DataFrame, text_a: str = "text_a", text_b: str = "text_b"
+) -> DataFrame:
+    cols = feature_columns(F.col(text_a), F.col(text_b))
+    return pairs.select(
+        "*", *[expr.alias(name) for name, expr in cols.items()]
+    )
+
+
+@dataclass
+class LogisticModel:
+    """(weights, bias) over FEATURES — the reference's settings-file
+    artifact (api.py:1069-1086) as a plain JSON-able dataclass."""
+
+    weights: dict[str, float] = field(
+        default_factory=lambda: {
+            # sensible prior: similarity features vote for, missing against.
+            "f_cosine": 6.0,
+            "f_jaccard": 4.0,
+            "f_lev": 4.0,
+            "f_len": 1.0,
+            "f_missing": -4.0,
+        }
+    )
+    bias: float = -7.0
+
+    def score_column(self) -> Column:
+        z = F.lit(float(self.bias))
+        for name, w in self.weights.items():
+            z = z + F.lit(float(w)) * F.col(name)
+        return 1.0 / (1.0 + F.exp(-z))
+
+    def to_dict(self) -> dict:
+        return {"weights": self.weights, "bias": self.bias}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LogisticModel":
+        return cls(weights=dict(d["weights"]), bias=float(d["bias"]))
+
+
+def score_pairs(pairs_with_features: DataFrame, model: LogisticModel) -> DataFrame:
+    """Append ``score`` = sigmoid(w.x + b) — one native column expression."""
+    return pairs_with_features.withColumn("score", model.score_column())
+
+
+def train_logistic(
+    labeled: DataFrame,
+    l2: float = 0.1,
+    lr: float = 0.5,
+    epochs: int = 400,
+) -> LogisticModel:
+    """Fit L2-regularized logistic regression on a labeled feature frame
+    (columns FEATURES + ``label``). Driver-side numpy batch gradient
+    descent — the labeled set is small by design (the reference trains on
+    ~1500 actively-labeled pairs, api.py:1212-1250), so shipping it to the
+    driver is the right physical plan; alpha mirrors rlr's 0.1.
+    """
+    pdf = labeled.select(*FEATURES, "label").toPandas()
+    X = pdf[FEATURES].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    n = len(y)
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((X.T @ g) / n + l2 * w / n)
+        b -= lr * g.mean()
+    return LogisticModel(
+        weights={f: float(wi) for f, wi in zip(FEATURES, w)}, bias=float(b)
+    )
+
+
+def jaro_winkler_udf():
+    """Custom-comparator extension point (variables/base.py:75-91):
+    Arrow-batched pandas UDF computing Jaro-Winkler similarity."""
+
+    def jw(s1: str, s2: str) -> float:
+        if not s1 or not s2:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        window = max(l1, l2) // 2 - 1
+        f1 = [False] * l1
+        f2 = [False] * l2
+        m = 0
+        for i in range(l1):
+            lo, hi = max(0, i - window), min(l2, i + window + 1)
+            for j in range(lo, hi):
+                if not f2[j] and s1[i] == s2[j]:
+                    f1[i] = f2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if f1[i]:
+                while not f2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        jaro = (m / l1 + m / l2 + (m - t / 2) / m) / 3
+        p = 0
+        for a, c in zip(s1[:4], s2[:4]):
+            if a == c:
+                p += 1
+            else:
+                break
+        return jaro + 0.1 * p * (1 - jaro)
+
+    def batch(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(
+                [jw(x, y) for x, y in zip(a.fillna(""), b.fillna(""))],
+                dtype="float64",
+            )
+
+    return F.pandas_udf(batch, T.DoubleType())

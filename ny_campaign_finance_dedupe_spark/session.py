@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-rolls bounded-memory pipelining (generator chains,
+Queue(2) backpressure, memmap spill — dedupe/core.py:276-293); on Spark
+all of that is the engine's job, so the session factory only sets the
+knobs Catalyst/AQE can't guess:
+
+- AQE on (runtime coalesce + skew-join splitting: the reference's
+  anti-skew guards, canopy_index.py:20-38 / clustering.py:63-98, map to
+  ``skewJoin.enabled`` plus our explicit block-size cap).
+- Arrow enabled with a bounded batch size (= the reference's 20k-pair
+  scoring chunk, dedupe/core.py:279).
+- shuffle partitions sized for the local harness; on a real cluster this
+  is set per-job from input size (see plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "nycfd-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the ER pipeline.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on
+    a real cluster it is left to spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ~ the reference's 20,000-pair scoring chunk (dedupe/core.py:279)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

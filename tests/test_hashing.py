@@ -1,0 +1,77 @@
+"""MinHash / SimHash determinism + similarity properties."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ny_campaign_finance_dedupe_spark.functions import hashing, keygen
+
+
+def _sig_df(spark, texts, num_perm=64):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    sh = keygen.word_ngrams(F.col("t"), 3)
+    df = df.withColumn("hs", hashing.shingle_hashes(sh))
+    return df.withColumn("sig", hashing.minhash_signature_udf(num_perm)(F.col("hs")))
+
+
+def test_minhash_deterministic(spark):
+    a = _sig_df(spark, ["the quick brown fox jumps over the lazy dog"]).collect()
+    b = _sig_df(spark, ["the quick brown fox jumps over the lazy dog"]).collect()
+    assert list(a[0]["sig"]) == list(b[0]["sig"])
+
+
+def test_minhash_similarity_estimates_jaccard(spark):
+    t1 = "a b c d e f g h i j k l m n o p q r s t"
+    t2 = "a b c d e f g h i j k l m n o p q r s X"  # ~ high shingle overlap
+    t3 = "z y x w v u t9 s8 r7 q6 p5 o4 n3 m2 l1 k0"
+    rows = {r["id"]: list(r["sig"]) for r in _sig_df(spark, [t1, t2, t3], 128).collect()}
+    sim12 = sum(x == y for x, y in zip(rows[0], rows[1])) / 128
+    sim13 = sum(x == y for x, y in zip(rows[0], rows[2])) / 128
+    assert sim12 > 0.6
+    assert sim13 < 0.1
+
+
+def test_minhash_null_and_empty(spark):
+    df = spark.createDataFrame([(0, None), (1, "a b")], "id long, t string")
+    sh = keygen.word_ngrams(F.col("t"), 3)  # 'a b' has no trigram
+    df = df.withColumn("hs", hashing.shingle_hashes(sh)).withColumn(
+        "sig", hashing.minhash_signature_udf(16)(F.col("hs"))
+    )
+    rows = {r["id"]: r["sig"] for r in df.collect()}
+    assert rows[0] is None and rows[1] is None
+
+
+def test_band_keys_collide_for_similar(spark):
+    t1 = "a b c d e f g h i j k l m n o p q r s t"
+    t2 = "a b c d e f g h i j k l m n o p q r s X"
+    df = _sig_df(spark, [t1, t2], 64).withColumn(
+        "bk", hashing.minhash_band_keys(F.col("sig"), bands=16, rows=4)
+    )
+    rows = {r["id"]: set(r["bk"]) for r in df.collect()}
+    assert rows[0] & rows[1], "similar texts must share >=1 band key"
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy cat today"),
+            (2, "completely unrelated words about spark dataframes here"),
+        ],
+        "id long, t string",
+    )
+    toks = keygen.tokens(F.col("t"))
+    df = df.withColumn("hs", hashing.shingle_hashes(toks)).withColumn(
+        "sim", hashing.simhash_udf()(F.col("hs"))
+    )
+    df.createOrReplaceTempView("sh")
+    rows = {r["id"]: r["sim"] for r in df.collect()}
+    d01 = bin((rows[0] ^ rows[1]) & (2**64 - 1)).count("1")
+    d02 = bin((rows[0] ^ rows[2]) & (2**64 - 1)).count("1")
+    assert d01 < d02
+    assert d01 <= 16
+
+
+def test_simhash_band_keys_native_hamming(spark):
+    df = spark.createDataFrame([(1, 7), (2, 5)], "id long, sim long")
+    out = df.select(hashing.hamming64(F.col("sim"), F.lit(5)).alias("h")).collect()
+    assert [r["h"] for r in out] == [1, 0]
