@@ -1,0 +1,147 @@
+"""The flagship plan: pages -> extract -> block -> pairs -> score -> cluster.
+
+Reference lifecycle: ``run_dedupe`` (campaign_finance_dedupe.py:119-490,
+SURVEY.md §3.1) and its resume twin ``start_at_clustering.py:119-374``.
+One SparkSession job graph replaces the Python<->Postgres<->multiprocess
+topology; each stage checkpoints (sources/checkpoint.py) so any prefix can
+be skipped with ``resume_from`` — the reference's stage-level
+restartability, generalized.
+
+Scale shape (the 100 TB story):
+- extract runs once per page, Arrow-vectorized, then is checkpointed —
+  the scan downstream reads (url, ntext, sig, simhash) only, never html.
+- blocking emits ~(1 + bands_mh + bands_sh) keys/page: linear.
+- the only quadratic danger is block fan-out: capped at
+  ``max_block_size`` (canopy stop-word analog) + AQE skew-join.
+- scoring is a native column expression — no Python between shuffle and
+  shuffle; the pair shuffle carries ids only (hydration re-joins text).
+- CC rounds are O(log^2 n) with per-round localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing, keygen, normalize
+from ..operators import blocking, clustering, pairs, scoring
+from ..sources.checkpoint import STAGES, CheckpointStore
+
+
+@dataclass
+class PipelineConfig:
+    """The 'settings file' (dedupe/api.py:1069-1086) as plain data."""
+
+    minhash_perms: int = 64
+    minhash_bands: int = 16
+    minhash_rows: int = 4
+    shingle_words: int = 3
+    simhash_bands: int = 4
+    max_block_size: int = 200
+    score_threshold: float = 0.5
+    max_component: int = clustering.MAX_COMPONENT
+    lang_filter: str | None = None
+    model: dict = field(
+        default_factory=lambda: scoring.LogisticModel().to_dict()
+    )
+
+    def params(self) -> dict:
+        return asdict(self)
+
+
+class DedupePipeline:
+    def __init__(self, config: PipelineConfig, store: CheckpointStore):
+        self.cfg = config
+        self.store = store
+
+    # -- stages ---------------------------------------------------------------
+    def extract(self, pages: DataFrame) -> DataFrame:
+        """Normalize text (byte-identical per url) + signatures.
+
+        If ``text`` is null but ``html`` is present, extract text from the
+        html bytes (input_hint: text byte-identically derivable from html).
+        """
+        cfg = self.cfg
+        df = pages
+        if cfg.lang_filter:
+            # P1-analog person/type filter (campaign_finance_dedupe.py:154-159)
+            df = df.where(F.col("lang") == cfg.lang_filter)
+        txt = F.coalesce(F.col("text"), normalize.extract_text_udf()(F.col("html")))
+        ntext = normalize.normalize_text(normalize.canonicalize_abbrev(txt))
+        df = df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
+        shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
+        df = df.withColumn("shashes", hashing.shingle_hashes(shingles))
+        df = df.withColumn(
+            "sig", hashing.minhash_signature_udf(cfg.minhash_perms)(F.col("shashes"))
+        )
+        df = df.withColumn(
+            "simhash",
+            hashing.simhash_udf()(hashing.shingle_hashes(keygen.tokens(F.col("ntext")))),
+        )
+        return df.drop("shashes")
+
+    def predicates(self) -> dict:
+        cfg = self.cfg
+        return {
+            "exact": F.when(
+                F.col("ntext").isNull(), F.array().cast("array<string>")
+            ).otherwise(F.array(F.sha2(F.col("ntext"), 256))),
+            "mh": hashing.minhash_band_keys(
+                F.col("sig"), bands=cfg.minhash_bands, rows=cfg.minhash_rows
+            ),
+            "dom_sh": keygen.compound(
+                keygen.domain_key(F.col("url")),
+                hashing.simhash_band_keys(F.col("simhash"), bands=cfg.simhash_bands),
+            ),
+        }
+
+    def block(self, extracted: DataFrame) -> DataFrame:
+        bm = blocking.build_blocking_map(extracted, "url", self.predicates())
+        return blocking.cap_blocks(bm, self.cfg.max_block_size)
+
+    def gen_pairs(self, blocking_map: DataFrame) -> DataFrame:
+        return pairs.candidate_pairs(blocking_map)
+
+    def score(self, cand: DataFrame, extracted: DataFrame) -> DataFrame:
+        hyd = pairs.hydrate_pairs(cand, extracted.select("url", "ntext"), "url", ["ntext"])
+        feat = scoring.with_features(hyd, "ntext_a", "ntext_b")
+        model = scoring.LogisticModel.from_dict(self.cfg.model)
+        return scoring.score_pairs(feat, model).select("src", "dst", "score")
+
+    def cluster(self, scored: DataFrame, records: DataFrame) -> DataFrame:
+        cl = clustering.cluster_edges(scored, threshold=self.cfg.score_threshold)
+        cl = clustering.split_oversize_components(
+            scored, cl, self.cfg.score_threshold, self.cfg.max_component
+        )
+        return clustering.add_singletons(records, "url", cl)
+
+    # -- orchestration ----------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        resume_from: str | None = None,
+    ) -> DataFrame:
+        """Execute all stages with checkpoint + resume.
+
+        ``resume_from='pairs'`` skips extract/block if their checkpoints
+        exist with matching params (start_at_clustering semantics).
+        """
+        p = self.cfg.params()
+        start = STAGES.index(resume_from) if resume_from else 0
+
+        def stage(idx: int, name: str, build):
+            if idx < start and self.store.has(name, p):
+                return self.store.read(spark, name)
+            df = build()
+            return self.store.write(df, name, params=p)
+
+        extracted = stage(0, "extract", lambda: self.extract(pages))
+        bm = stage(1, "block", lambda: self.block(extracted))
+        cand = stage(2, "pairs", lambda: self.gen_pairs(bm))
+        scored = stage(3, "score", lambda: self.score(cand, extracted))
+        entity_map = stage(4, "cluster", lambda: self.cluster(scored, extracted))
+        self.store.write_run_stats(entity_map, params=p)
+        return entity_map

@@ -1,0 +1,166 @@
+"""Per-stage checkpoints + per-partition lineage metrics.
+
+Reference analogs: the durable ``blocking_map``/``entity_map`` Postgres
+tables that make ``start_at_clustering.py:119-374`` (resume-from-blocking)
+and ``run_stats_only.py`` (recompute-from-entity_map) possible, plus the
+``match_runs`` metrics row appended after every run
+(campaign_finance_dedupe.py:473-481, schema data_load/pre_init_db.py:23).
+
+Here every stage writes:
+- its output table under ``<root>/<run_id>/<stage>/data`` (parquet in the
+  sandbox; Iceberg on a cluster — single seam in ``_write``),
+- a ``_SUCCESS``-gated marker with the stage params hash, so resume only
+  reuses a checkpoint produced by an identical configuration,
+- per-partition lineage rows (partition_id, rows_out) + wall clock into
+  ``<root>/match_runs`` (FIXTURES.md §5 schema).
+
+Partition counts come from one extra narrow agg over
+``spark_partition_id()`` — no listener machinery needed, and the agg is
+executed against the *written* files so it doubles as a read-back
+validation of the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+STAGES = ["extract", "block", "pairs", "score", "cluster"]
+
+MATCH_RUNS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("completed", T.TimestampType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("wall_clock_s", T.DoubleType()),
+        T.StructField("params", T.StringType()),
+    ]
+)
+
+
+class CheckpointStore:
+    def __init__(self, root: str, run_id: str | None = None):
+        self.root = Path(root)
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    # -- paths ---------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> Path:
+        return self.root / self.run_id / stage
+
+    def _data_path(self, stage: str) -> str:
+        return str(self._stage_dir(stage) / "data")
+
+    def _meta_path(self, stage: str) -> Path:
+        return self._stage_dir(stage) / "meta.json"
+
+    # -- api -----------------------------------------------------------------
+    def has(self, stage: str, params: dict | None = None) -> bool:
+        meta = self._meta_path(stage)
+        if not meta.exists():
+            return False
+        if params is None:
+            return True
+        saved = json.loads(meta.read_text())
+        return saved.get("params") == _canon(params)
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self._data_path(stage))
+
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        params: dict | None = None,
+        rows_in: int | None = None,
+    ) -> DataFrame:
+        """Materialize a stage, record lineage, return the read-back DF
+        (downstream reads files, not the upstream lineage — the
+        checkpoint IS the stage boundary)."""
+        spark = df.sparkSession
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(self._data_path(stage))
+        wall = time.time() - t0
+        out = spark.read.parquet(self._data_path(stage))
+        lineage = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .collect()
+        )
+        now = F.current_timestamp()
+        rows = [
+            (
+                self.run_id,
+                stage,
+                int(r["partition_id"]),
+                int(rows_in) if rows_in is not None else None,
+                int(r["rows_out"]),
+                float(wall),
+                _canon(params or {}),
+            )
+            for r in lineage
+        ] or [(self.run_id, stage, -1, rows_in, 0, float(wall), _canon(params or {}))]
+        mdf = spark.createDataFrame(
+            rows,
+            "run_id string, stage string, partition_id int, rows_in long,"
+            " rows_out long, wall_clock_s double, params string",
+        ).select(
+            "run_id", "stage", now.alias("completed"), "partition_id",
+            "rows_in", "rows_out", "wall_clock_s", "params",
+        )
+        mdf.write.mode("append").parquet(str(self.root / "match_runs"))
+        self._meta_path(stage).parent.mkdir(parents=True, exist_ok=True)
+        self._meta_path(stage).write_text(
+            json.dumps({"params": _canon(params or {}), "wall_clock_s": wall})
+        )
+        return out
+
+    def match_runs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.root / "match_runs"))
+
+    def write_run_stats(self, entity_map: DataFrame, params: dict | None = None):
+        """Cluster-shape stats row (A5, campaign_finance_dedupe.py:443-471):
+        total_clusters, avg/biggest cluster size, total_records, ratio."""
+        spark = entity_map.sparkSession
+        sizes = entity_map.groupBy("cluster_id").count()
+        row = sizes.agg(
+            F.count("*").alias("total_clusters"),
+            F.avg("count").alias("avg_cluster_size"),
+            F.max("count").alias("biggest_cluster_size"),
+            F.sum("count").alias("total_records"),
+        ).collect()[0]
+        stats = {
+            "total_clusters": int(row["total_clusters"]),
+            "avg_cluster_size": float(row["avg_cluster_size"]),
+            "biggest_cluster_size": int(row["biggest_cluster_size"]),
+            "total_records": int(row["total_records"]),
+            "ratio": float(row["total_clusters"]) / max(int(row["total_records"]), 1),
+        }
+        merged = dict(params or {})
+        merged["cluster_stats"] = stats
+        spark.createDataFrame(
+            [(self.run_id, "cluster_stats", _canon(merged))],
+            "run_id string, stage string, params string",
+        ).select(
+            "run_id",
+            "stage",
+            F.current_timestamp().alias("completed"),
+            F.lit(-1).alias("partition_id"),
+            F.lit(None).cast("long").alias("rows_in"),
+            F.lit(stats["total_records"]).cast("long").alias("rows_out"),
+            F.lit(0.0).alias("wall_clock_s"),
+            "params",
+        ).write.mode("append").parquet(str(self.root / "match_runs"))
+        return stats
+
+
+def _canon(params: dict) -> str:
+    return json.dumps(params, sort_keys=True, default=str)

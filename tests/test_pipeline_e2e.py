@@ -1,0 +1,81 @@
+"""End-to-end: synth pages -> pipeline -> F1 >= 0.99 + resume idempotence.
+
+Reference analogs: the restaurant golden-dataset canonical test
+(dedupe/tests/canonical.py) and start_at_clustering resume semantics.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ny_campaign_finance_dedupe_spark.plans.evaluate import (
+    clusters_to_pairs,
+    evaluate_pairs,
+)
+from ny_campaign_finance_dedupe_spark.plans.pipeline import (
+    DedupePipeline,
+    PipelineConfig,
+)
+from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
+from ny_campaign_finance_dedupe_spark.synth import synth_pages, true_pairs
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    pages, entities = synth_pages(spark, n_pages=1500, seed=42)
+    pages = pages.localCheckpoint()
+    entities = entities.localCheckpoint()
+    store = CheckpointStore(str(root), run_id="t1")
+    pipe = DedupePipeline(PipelineConfig(), store)
+    entity_map = pipe.run(spark, pages, resume_from=None).localCheckpoint()
+    return dict(
+        root=root, pages=pages, entities=entities, store=store, pipe=pipe,
+        entity_map=entity_map,
+    )
+
+
+def test_f1_at_shared_blocking_key(spark, run):
+    truth = true_pairs(run["entities"])
+    cand = run["store"].read(spark, "pairs")
+    predicted = clusters_to_pairs(run["entity_map"])
+    ev = evaluate_pairs(predicted, cand, truth)
+    assert ev.f1 >= 0.99, ev
+    assert ev.blocking_recall >= 0.95, ev
+
+
+def test_every_record_assigned_once(run):
+    em = run["entity_map"]
+    n_pages = run["pages"].count()
+    assert em.count() == n_pages
+    assert em.select("record_id").distinct().count() == n_pages
+
+
+def test_match_runs_lineage(spark, run):
+    mr = run["store"].match_runs(spark)
+    stages = {r["stage"] for r in mr.select("stage").distinct().collect()}
+    assert {"extract", "block", "pairs", "score", "cluster", "cluster_stats"} <= stages
+    # per-partition rows recorded
+    assert mr.where(F.col("stage") == "extract").count() >= 1
+    ex = mr.where((F.col("stage") == "extract") & (F.col("partition_id") >= 0))
+    total = ex.agg(F.sum("rows_out")).collect()[0][0]
+    assert total == run["pages"].count()
+
+
+def test_resume_from_cluster_reuses_checkpoints(spark, run):
+    """Resume from 'cluster': stages before it must be read back, and the
+    final entity map must be identical (idempotent restart)."""
+    pipe = run["pipe"]
+    em2 = pipe.run(spark, run["pages"], resume_from="cluster")
+    a = run["entity_map"].orderBy("record_id").collect()
+    b = em2.orderBy("record_id").collect()
+    assert [(r["record_id"], r["cluster_id"]) for r in a] == [
+        (r["record_id"], r["cluster_id"]) for r in b
+    ]
+
+
+def test_resume_rejects_changed_params(spark, run):
+    """A checkpoint written under different params must NOT be reused."""
+    store = run["store"]
+    cfg2 = PipelineConfig(minhash_bands=8, minhash_rows=8)
+    assert not store.has("extract", cfg2.params())
+    assert store.has("extract", PipelineConfig().params())
