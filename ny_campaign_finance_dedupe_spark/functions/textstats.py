@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines — all native expressions.
+
+Every function here mirrors a shape the reference computes row-wise in
+Python (token predicates, predicates.py:353-355; string cleanup,
+clean_donors.py) but stays entirely in Catalyst so it runs at scan speed
+at 100 TB. Each is designed to be exactly reproducible in ANSI SQL (the
+DuckDB oracle in __spark_entry__): integer counts and single-divide
+ratios only — no accumulation-order-dependent float math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# fixed tiny stop-word lists per language for the lang-ID heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+# BPE-ish tokenizer: letter runs, digit runs, or single other non-space
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (null text -> null)."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(ws_tokens(text))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens over lowercased text."""
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0))
+    )
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(
+        F.filter(ws_tokens(F.lower(text)), lambda t: F.array_contains(words, t))
+    )
+
+
+def alpha_char_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.5 * stopword_ratio_capped + 0.5 * alpha_char_ratio.
+
+    stopword_ratio_capped = least(1, stopword_count / (0.04 * n_tokens))
+    — classic Gopher-style 'has enough function words' signal; alpha
+    ratio penalizes symbol/boilerplate soup. Single divides only, so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    nt = F.size(ws_tokens(text)).cast("double")
+    sw = stopword_count(text).cast("double")
+    stop_ratio = F.least(F.lit(1.0), sw / (F.lit(0.04) * nt))
+    alpha_ratio = alpha_char_count(text).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.lit(0.5) * stop_ratio + F.lit(0.5) * alpha_ratio
+    )
+
+
+def lang_votes(text: Column, lang: str) -> Column:
+    return stopword_count(text, LANG_STOPWORDS[lang])
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stop-word hits; deterministic tie-break by
+    language code order en < de < es < fr; 'und' (undetermined) when all
+    votes are zero. A cheap n-gram-free heuristic — the structure (vote
+    arrays + argmax) is what a real fastText-style scorer plugs into."""
+    votes = {code: lang_votes(text, code) for code in LANG_STOPWORDS}
+    # strict > while scanning codes alphabetically = first-code-wins ties
+    out_code, out_votes = F.lit("und"), F.lit(0)
+    for code in sorted(votes):
+        v = votes[code]
+        cond = v > out_votes
+        out_code = F.when(cond, F.lit(code)).otherwise(out_code)
+        out_votes = F.when(cond, v).otherwise(out_votes)
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(out_code)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: sorted distinct tokens
+    joined (predicates.py:421-422 'fingerprint'); hash with xxhash64 for
+    a compact id when needed — the string form is the SQL-checkable
+    canonical."""
+    return F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(F.lower(text)))))

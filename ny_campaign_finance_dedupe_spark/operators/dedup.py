@@ -1,0 +1,202 @@
+"""Deduplication operator family for training-data pipelines.
+
+The reference's dedup is the whole repo; these are the *document-level*
+specializations a 100 TB text pipeline needs, each as a standalone
+DataFrame operator (and a ``queries()`` entry in __spark_entry__):
+
+- exact:        hash-groupBy on the payload (P5, init_postgres_db.py:110-113)
+- n-gram Jaccard: *equi-join* formulation — explode distinct shingles,
+  self-join on shingle, count shared, Jaccard from per-doc gram counts.
+  No cross join anywhere, so it scales exactly like the blocking
+  self-join (and shares its skew story: common shingles are stop-worded
+  by a document-frequency cap, canopy_index.py:20-38 analog).
+- MinHash+LSH:  banded signature join (functions/hashing.py) -> candidate
+  pairs with estimated Jaccard = fraction of agreeing signature positions
+- SimHash:      banded 64-bit simhash join + exact Hamming filter
+- embedding cosine: see operators/ann.py (shared kernel)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import hashing, keygen
+
+
+def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
+    """(record_id, cluster_id, cluster_size): cluster_id = min id among
+    byte-identical payloads. One shuffle (groupBy payload hash)."""
+    key = F.sha2(F.col(payload).cast("string"), 256)
+    agg = (
+        df.select(F.col(id_col).alias("record_id"), key.alias("k"))
+        .groupBy("k")
+        .agg(
+            F.min("record_id").alias("cluster_id"),
+            F.count("*").alias("cluster_size"),
+            F.collect_list("record_id").alias("members"),
+        )
+    )
+    return agg.select(
+        F.explode("members").alias("record_id"), "cluster_id", "cluster_size"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard >= threshold pairs via shingle equi-join.
+
+    Output: (src, dst, jaccard), src < dst. The join key is the shingle,
+    so cost is sum over shingles of df(shingle)^2 — bounded by ``df_cap``
+    (drop shingles appearing in more than df_cap docs; stop-word rule).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("record_id"),
+            F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("gram").count().where(F.col("count") > df_cap)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    counts = grams.groupBy("record_id").agg(F.count("*").alias("ng"))
+    g1 = grams.alias("a")
+    g2 = grams.alias("b")
+    shared = (
+        g1.join(g2, "gram")
+        .where(F.col("a.record_id") < F.col("b.record_id"))
+        .groupBy(
+            F.col("a.record_id").alias("src"), F.col("b.record_id").alias("dst")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(counts.select(F.col("record_id").alias("src"), F.col("ng").alias("na")), "src")
+        .join(counts.select(F.col("record_id").alias("dst"), F.col("ng").alias("nb")), "dst")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    est_threshold: float = 0.0,
+) -> DataFrame:
+    """Banded-MinHash near-dup candidates with estimated Jaccard.
+
+    est_jaccard = fraction of agreeing signature positions (unbiased
+    estimator of true shingle Jaccard). One narrow keygen pass + one
+    equi-join on band keys — the LSH replacement for the reference's
+    TfidfCanopy index predicates (predicates.py:248-305).
+    """
+    sig = (
+        df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("t"))
+        .withColumn(
+            "sig",
+            hashing.minhash_signature_udf(num_perm)(
+                hashing.shingle_hashes(keygen.word_ngrams(F.col("t"), shingle_words))
+            ),
+        )
+        .where(F.col("sig").isNotNull())
+        .select("record_id", "sig")
+    )
+    bm = sig.select(
+        "record_id",
+        F.explode(hashing.minhash_band_keys(F.col("sig"), bands, rows)).alias(
+            "block_key"
+        ),
+    )
+    cand = (
+        bm.alias("l")
+        .join(bm.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    sa = sig.select(F.col("record_id").alias("src"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("record_id").alias("dst"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(num_perm)
+    )
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .select("src", "dst", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance over 64-bit SimHash.
+
+    Banded join guarantees recall for distance <= bands-1 (pigeonhole;
+    Manku et al. '07); the exact bit_count filter removes band-collision
+    false positives. Output (src, dst, hamming).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("t"))
+        .withColumn(
+            "simhash",
+            hashing.simhash_udf()(hashing.shingle_hashes(keygen.tokens(F.col("t")))),
+        )
+        .where(F.col("simhash").isNotNull())
+        .select("record_id", "simhash")
+    )
+    bm = sh.select(
+        "record_id",
+        F.explode(hashing.simhash_band_keys(F.col("simhash"), bands)).alias(
+            "block_key"
+        ),
+    )
+    cand = (
+        bm.alias("l")
+        .join(bm.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    ha = sh.select(F.col("record_id").alias("src"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("record_id").alias("dst"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(ha, "src")
+        .join(hb, "dst")
+        .select(
+            "src", "dst", hashing.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

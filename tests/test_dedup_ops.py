@@ -1,0 +1,151 @@
+"""Dedup family + ANN + textstats operator tests (golden expectations)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ny_campaign_finance_dedupe_spark.functions import textstats
+from ny_campaign_finance_dedupe_spark.operators import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup of 1
+        (4, "totally different words about spark and the catalyst engine"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {
+        r["record_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+    assert out[3][1] == 1 and out[4][1] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    pairs = {(r["src"], r["dst"]): r["jaccard"] for r in got}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 share 5 of their 6 trigrams -> J = 5/7
+    assert abs(pairs[(1, 3)] - 5 / 7) < 1e-12
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    # 4 docs all sharing one hot trigram; cap=2 kills that join key
+    rows = [(i, "common shared gram x%d y%d z%d" % (i, i, i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.0)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.0, df_cap=2)
+    assert capped.count() < full.count()
+
+
+def test_minhash_candidates_find_near_dups(docs):
+    got = dedup.minhash_candidate_pairs(
+        docs, "doc_id", "text", est_threshold=0.5
+    ).collect()
+    found = {(r["src"], r["dst"]) for r in got}
+    assert (1, 2) in found and (1, 3) in found
+    assert all(4 not in p for p in found)
+    est = {(r["src"], r["dst"]): r["est_jaccard"] for r in got}
+    assert est[(1, 2)] == 1.0
+
+
+def test_simhash_near_pairs(docs):
+    got = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+    found = {(r["src"], r["dst"]): r["hamming"] for r in got}
+    assert found[(1, 2)] == 0
+    assert all(4 not in p for p in found)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vecs):
+    out = ann.brute_force_topk(vecs, vecs, k=1).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert top[0] == 1 and top[1] == 0
+    assert top[2] == 3 and top[3] == 2
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+
+
+def test_cosine_neardup_pairs(vecs):
+    got = ann.cosine_neardup_pairs(vecs, threshold=0.9).collect()
+    found = {(r["src"], r["dst"]) for r in got}
+    assert found == {(0, 1), (2, 3)}
+
+
+def test_lsh_topk_matches_brute_force_for_close_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = []
+    for i in range(20):
+        rows.append((i, base[i].tolist()))
+        rows.append((100 + i, (base[i] + rng.standard_normal(16) * 0.01).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann.lsh_topk(df, df, dim=16, k=1, bands=8, bits=6)
+    top = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for i in range(20) if top.get(i) == 100 + i)
+    assert hits >= 18  # high recall on planted twins
+
+
+def test_textstats_goldens(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "Der Hund ist nicht ein Katze der die"),
+         (3, None)],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        textstats.token_count(F.col("text")).alias("tc"),
+        textstats.bpe_token_count(F.col("text")).alias("bc"),
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["tc"] == 5 and rows[1]["bc"] == 5
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "de"
+    assert rows[3]["tc"] is None and rows[3]["lang"] is None
+    assert rows[1]["fp"] == "and cat dog the"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_multimodal_features_deterministic(spark):
+    rows = [
+        ("m1", b"\x00\x01\x02" * 50, "image/png", 10, 10),
+        ("m2", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out1 = {r["media_id"]: r["features"] for r in multimodal.extract_media_features(df).collect()}
+    out2 = {r["media_id"]: r["features"] for r in multimodal.extract_media_features(df).collect()}
+    assert out1["m1"] == out2["m1"]
+    assert len(out1["m1"]) == multimodal.FEATURE_DIM
+    assert out1["m2"] is None
+
+
+def test_frame_sample_plan(spark):
+    rows = [("m1", bytes(range(100)), "video/mp4", None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(df, every_n=30).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
+    assert bytes(frames[0]["frame_payload"]) == bytes(range(30))

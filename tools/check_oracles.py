@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry
+from ny_campaign_finance_dedupe_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            continue
+        if sql is None:
+            print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.sql(sql)
+            ocols = [c for c in res.columns]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name}: oracle error {str(e)[:200]}")
+            continue
+        problems = []
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            problems.append(f"cols spark={scols} duck={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sk = rows_key(srows, [c.lower() for c in scols])
+            ok = rows_key(orows, [c.lower() for c in ocols])
+            if sk != ok:
+                diff = [
+                    (a, b) for a, b in zip(sk, ok) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(p[:300] for p in problems)}")
+        else:
+            print(f"PASS  {name} ({len(srows)} rows)")
+    print(f"\n{len(failures)} failures")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
