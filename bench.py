@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also times the flagship three-stage ER pipeline over a deterministic
+synthetic ``pages`` table (synth.synth_pages — the north_rule input
+shape) and reports ``pages_per_sec``; scaling-efficiency evidence at two
+parallelism levels lives in ``tools/scaling_bench.py`` → BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from ny_campaign_finance_dedupe_spark.session import get_spark
+from ny_campaign_finance_dedupe_spark.synth import synth_pages
+
+# Headline set: every stage family — exact/fingerprint dedup, blocking
+# self-join, minhash/simhash LSH, n-gram Jaccard, connected components,
+# scoring+pipeline, reporting aggs, window top-k, ANN.
+HEADLINE = [
+    "exact_dedup_clusters",
+    "fingerprint_clusters",
+    "blocking_first_token_pairs",
+    "ngram_jaccard_dedup",
+    "cc_jaccard_clusters",
+    "minhash_dedup",
+    "simhash_dedup",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "pricing_summary",
+    "top_entities",
+    "window_topk_per_user",
+    "embedding_neardup",
+    "ann_topk",
+    "lsh_ann_topk",
+    "er_pipeline",
+]
+
+
+def _time_df(fn, *args) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    df = fn(*args)
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    n_bench_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+    spark = get_spark("nycfd-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # JVM/py4j warm-up so q1 doesn't absorb session start cost
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        try:
+            secs, _ = _time_df(fn, spark, sf_dir)
+            timings[name] = round(secs, 3)
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # flagship throughput: full ER pipeline over synthetic pages
+    from ny_campaign_finance_dedupe_spark.plans.pipeline import (
+        DedupePipeline,
+        PipelineConfig,
+    )
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
+
+    pages, _ = synth_pages(spark, n_pages=n_bench_pages, seed=42)
+    pages = pages.persist()
+    pages.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    store = CheckpointStore(tempfile.mkdtemp(prefix="nycfd_bench_"))
+    em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
+    n_out = em.count()
+    er_secs = time.perf_counter() - t0
+    timings["er_pipeline_synth"] = round(er_secs, 3)
+    pages_per_sec = n_bench_pages / er_secs if er_secs > 0 else 0.0
+
+    total = sum(v for v in timings.values() if v > 0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "bench_pages": n_bench_pages,
+                "er_entity_map_rows": n_out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
