@@ -34,8 +34,11 @@ from ny_campaign_finance_dedupe_spark.operators import (  # noqa: E402
     blocking,
     clustering,
     dedup,
+    linkage,
     pairs as pairs_ops,
+    refine,
 )
+from ny_campaign_finance_dedupe_spark.plans import training  # noqa: E402
 from ny_campaign_finance_dedupe_spark.plans import reports  # noqa: E402
 from ny_campaign_finance_dedupe_spark.plans.pipeline import (  # noqa: E402
     DedupePipeline,
@@ -295,6 +298,104 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_canonical_centroid(spark, sf_dir):
+    """A8 (dedupe/canonical.py:5-71): per fingerprint-cluster, the member
+    text minimizing total edit distance to the others."""
+    docs = _t(spark, sf_dir, "documents")
+    em = q_fingerprint_clusters(spark, sf_dir)
+    return (
+        refine.canonicalize_clusters(em, docs, "doc_id", "text")
+        .withColumn("cluster_id", F.col("cluster_id").cast("long"))
+        .orderBy("cluster_id")
+    )
+
+
+def _doc_link_sides(spark, sf_dir):
+    """Split documents into query (doc_id % 7 == 0) and index sides and
+    block both on first token — the two-dataset linkage fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.where(F.col("doc_id") % 7 == 0)
+    idx = docs.where(F.col("doc_id") % 7 != 0)
+    kg = {"ft": keygen.first_token(F.col("text"))}
+    bq = blocking.build_blocking_map(q, "doc_id", kg)
+    bi = blocking.build_blocking_map(idx, "doc_id", kg)
+    cand = pairs_ops.record_link_pairs(bq, bi)
+    hyd = pairs_ops.hydrate_pairs(
+        cand, docs.select("doc_id", "text"), "doc_id", ["text"]
+    )
+    from ny_campaign_finance_dedupe_spark.operators import scoring
+
+    feats = scoring.with_features(hyd, "text_a", "text_b")
+    return feats.select("src", "dst", F.col("f_jaccard").alias("score"))
+
+
+def q_gazetteer_topk(spark, sf_dir):
+    """C7 (clustering.py:280-308): top-2 index matches per query record
+    by token-Jaccard, within first-token blocks."""
+    scored = _doc_link_sides(spark, sf_dir)
+    return (
+        linkage.gazetteer_topk(scored, n_matches=2, threshold=0.0)
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("neighbor_id"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_predicate_cover(spark, sf_dir):
+    """T4 (dedupe/training.py:133-221): which exact-duplicate pairs each
+    candidate predicate co-blocks."""
+    docs = _t(spark, sf_dir, "documents")
+    fpd = docs.select(
+        "doc_id", textstats.doc_fingerprint(F.col("text")).alias("f")
+    )
+    truth = (
+        fpd.alias("a")
+        .join(fpd.alias("b"), F.col("a.f") == F.col("b.f"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cover = training.predicate_cover(
+        docs,
+        "doc_id",
+        {
+            "ft": keygen.first_token(F.col("text")),
+            "fp": keygen.fingerprint(F.col("text")),
+        },
+        truth,
+    )
+    return cover.orderBy("predicate", "src", "dst")
+
+
+def q_keygen_text(spark, sf_dir):
+    """Predicate-family coverage: acronym / prefix / suffix-array /
+    2-gram-fingerprint keys as columns (predicates.py:425-473)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.get(keygen.sorted_acronym(F.col("text")), 0).alias("acronym"),
+        F.get(keygen.prefix(F.col("text"), 5), 0).alias("pfx5"),
+        F.size(keygen.suffix_array(F.col("text"))).alias("n_suffix_keys"),
+        F.get(keygen.two_gram_fingerprint(F.col("text")), 0).alias("fp2"),
+    ).orderBy("record_id")
+
+
+def q_hundred_buckets(spark, sf_dir):
+    """hundredIntegerPredicate (predicates.py:388-390) over order keys —
+    integer-exact bucketing + count per bucket."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.get(
+        keygen.hundred_integers(F.col("o_orderkey").cast("string")), 0
+    )
+    return (
+        orders.groupBy(key.cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 # --- rows-only (not SQL-expressible: LSH/banding/pipeline internals) --------
 
 def q_minhash_dedup(spark, sf_dir):
@@ -318,6 +419,60 @@ def q_lsh_ann_topk(spark, sf_dir):
         ann.lsh_topk(q, emb, dim=64, k=3, bands=8, bits=8)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def q_greedy_link(spark, sf_dir):
+    """C6 (clustering.py:265-277): one-to-one greedy matching on the
+    doc-linkage fixture (iterative — rows-only check)."""
+    scored = _doc_link_sides(spark, sf_dir)
+    return (
+        linkage.greedy_one_to_one(scored, threshold=0.3)
+        .select("src", "dst")
+        .orderBy("src", "dst")
+    )
+
+
+def q_hac_refine(spark, sf_dir):
+    """C3 (clustering.py:155-238): HAC split of CC components at a higher
+    cut (iterative per-component — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = edges.select("src", "dst", F.col("jaccard").alias("score"))
+    comp = clustering.connected_components(edges.select("src", "dst"))
+    return refine.hac_refine(edges, comp, threshold=0.9).orderBy("record_id")
+
+
+def q_phonetic_keys(spark, sf_dir):
+    """doubleMetaphone-analog blocking keys (soundex; no DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.get(
+            keygen.phonetic(F.regexp_extract(F.col("text"), r"^([\w']+)", 1)), 0
+        ).alias("phonetic_key"),
+    ).orderBy("record_id")
+
+
+def q_incremental_match(spark, sf_dir):
+    """Gazetteer/streaming analog (dedupe/api.py:612-896): match a batch
+    of new pages against a persistent index (same code path foreachBatch
+    drives; minhash/simhash blocking — rows-only check)."""
+    from ny_campaign_finance_dedupe_spark.plans.pipeline import PipelineConfig
+    from ny_campaign_finance_dedupe_spark.streaming import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _documents_as_pages(docs.withColumn(
+        "source", F.concat(F.col("source"), (F.col("doc_id") % 7).cast("string"))
+    ))
+    idx_pages = pages.where(F.xxhash64("url") % 7 != 0)
+    batch = pages.where(F.xxhash64("url") % 7 == 0)
+    cfg = PipelineConfig()
+    index = incremental.build_index(idx_pages, cfg)
+    return (
+        incremental.match_batch(batch, index, cfg, n_matches=1, threshold=0.5)
+        .select("query_url", "match_url", "rank")
+        .orderBy("query_url")
     )
 
 
@@ -356,6 +511,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "er_pipeline": q_er_pipeline,
+        "canonical_centroid": q_canonical_centroid,
+        "gazetteer_topk": q_gazetteer_topk,
+        "predicate_cover": q_predicate_cover,
+        "keygen_text": q_keygen_text,
+        "hundred_buckets": q_hundred_buckets,
+        "greedy_link": q_greedy_link,
+        "hac_refine": q_hac_refine,
+        "phonetic_keys": q_phonetic_keys,
+        "incremental_match": q_incremental_match,
     }
 
 
@@ -580,6 +744,100 @@ def oracle_sql() -> dict[str, str]:
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY src, dst
+        """,
+        "canonical_centroid": f"""
+            WITH fp AS (SELECT doc_id, text, {_FP} AS f FROM documents),
+            em AS (SELECT doc_id, text,
+                          MIN(doc_id) OVER (PARTITION BY f) AS cluster_id
+                   FROM fp),
+            sizes AS (SELECT cluster_id, COUNT(*) AS n FROM em
+                      GROUP BY cluster_id),
+            cost AS (
+              SELECT a.cluster_id, a.doc_id, a.text AS val,
+                     SUM(levenshtein(a.text, b.text)) AS tot
+              FROM em a JOIN em b
+                ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+              GROUP BY a.cluster_id, a.doc_id, a.text),
+            best AS (SELECT cluster_id, val AS canonical_value FROM (
+                       SELECT cluster_id, val,
+                              ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY tot, val, doc_id) AS rn
+                       FROM cost) WHERE rn = 1),
+            singles AS (SELECT em.cluster_id, em.text AS canonical_value
+                        FROM em JOIN sizes USING (cluster_id) WHERE n = 1)
+            SELECT cluster_id, canonical_value FROM best
+            UNION ALL SELECT cluster_id, canonical_value FROM singles
+            ORDER BY cluster_id
+        """,
+        "gazetteer_topk": """
+            WITH b AS (SELECT doc_id, text, split_part(text, ' ', 1) AS k
+                       FROM documents WHERE text IS NOT NULL
+                         AND split_part(text, ' ', 1) <> ''),
+            cand AS (SELECT DISTINCT q.doc_id AS src, i.doc_id AS dst,
+                            q.text AS ta, i.text AS tb
+                     FROM b q JOIN b i ON q.k = i.k
+                     WHERE q.doc_id % 7 = 0 AND i.doc_id % 7 <> 0),
+            sc AS (SELECT src, dst,
+                     len(list_intersect(list_distinct(string_split(ta, ' ')),
+                                        list_distinct(string_split(tb, ' '))))::DOUBLE
+                     / (len(list_distinct(string_split(ta, ' ')))
+                        + len(list_distinct(string_split(tb, ' ')))
+                        - len(list_intersect(list_distinct(string_split(ta, ' ')),
+                                             list_distinct(string_split(tb, ' ')))))
+                     AS score
+                   FROM cand)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT src AS query_id, dst AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY score DESC, src, dst) AS rank
+              FROM sc WHERE score > 0)
+            WHERE rank <= 2 ORDER BY query_id, rank
+        """,
+        "predicate_cover": f"""
+            WITH fpd AS (SELECT doc_id, {_FP} AS f FROM documents),
+            t AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM fpd a JOIN fpd b
+                    ON a.f = b.f AND a.doc_id < b.doc_id),
+            bm AS (
+              SELECT 'ft' AS predicate, split_part(text, ' ', 1) AS key, doc_id
+              FROM documents WHERE text IS NOT NULL
+                AND split_part(text, ' ', 1) <> ''
+              UNION ALL
+              SELECT 'fp',
+                array_to_string(list_sort(list_distinct(
+                  string_split(text, ' '))), ''), doc_id
+              FROM documents WHERE text IS NOT NULL),
+            co AS (SELECT DISTINCT l.predicate, l.doc_id AS src, r.doc_id AS dst
+                   FROM bm l JOIN bm r
+                     ON l.predicate = r.predicate AND l.key = r.key
+                    AND l.doc_id < r.doc_id)
+            SELECT co.predicate, co.src, co.dst
+            FROM co JOIN t USING (src, dst)
+            ORDER BY predicate, src, dst
+        """,
+        "keygen_text": r"""
+            SELECT doc_id AS record_id,
+              CASE WHEN text IS NULL THEN NULL ELSE
+                array_to_string(list_sort(list_transform(
+                  string_split(text, ' '), t -> t[1])), '') END AS acronym,
+              CASE WHEN text IS NULL OR length(text) < 5 THEN NULL
+                   ELSE text[1:5] END AS pfx5,
+              CASE WHEN text IS NULL THEN 0 ELSE
+                len(list_distinct(list_transform(
+                  generate_series(1, greatest(length(text[1:100]) - 4, 0)),
+                  i -> text[1:100][i:]))) END AS n_suffix_keys,
+              CASE WHEN length(regexp_replace(text, '\s', '', 'g')) <= 1
+                     THEN NULL ELSE
+                array_to_string(list_sort(list_distinct(list_transform(
+                  generate_series(1,
+                    length(regexp_replace(text, '\s', '', 'g')) - 1),
+                  i -> regexp_replace(text, '\s', '', 'g')[i:i+1]))), '')
+              END AS fp2
+            FROM documents ORDER BY record_id
+        """,
+        "hundred_buckets": """
+            SELECT (o_orderkey // 100 * 100) AS bucket, COUNT(*) AS n
+            FROM orders GROUP BY 1 ORDER BY bucket
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

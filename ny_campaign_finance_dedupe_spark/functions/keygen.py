@@ -157,6 +157,160 @@ def compound(a: Column, b: Column) -> Column:
     )
 
 
+def suffix_array(col: Column | str, min_len: int = 5) -> Column:
+    """suffixArray (predicates.py:462-469) — all suffixes of length >=
+    ``min_len`` (on the first 100 chars, bounding fan-out like the
+    reference bounds comparator cost); native substring walk."""
+    c = F.substring(_c(col), 1, 100)
+    m = F.length(c) - (min_len - 1)
+    sufs = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(c, i, F.lit(100)))
+    )
+    return _empty_if_null(_c(col), F.array_distinct(sufs))
+
+
+def one_gram_fingerprint(col: Column | str) -> Column:
+    """oneGramFingerprint (predicates.py:425-430) — sorted unique chars,
+    spaces removed, joined."""
+    c = F.regexp_replace(_c(col), r"\s", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.substring(c, i, 1),
+    )
+    fp = F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+    return F.when(
+        _c(col).isNull() | (F.length(c) == 0), F.array().cast("array<string>")
+    ).otherwise(F.array(fp))
+
+
+def two_gram_fingerprint(col: Column | str) -> Column:
+    """twoGramFingerprint (predicates.py:425-434) — sorted unique char
+    2-grams joined; empty for strings shorter than 2."""
+    c = F.regexp_replace(_c(col), r"\s", "")
+    m = F.length(c) - 1
+    grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), lambda i: F.substring(c, i, 2))
+    )
+    fp = F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+    return F.when(
+        _c(col).isNull() | (m <= 0), F.array().cast("array<string>")
+    ).otherwise(F.array(fp))
+
+
+def hundred_integers(col: Column | str) -> Column:
+    """hundredIntegerPredicate (predicates.py:388-390) — integers rounded
+    down to hundreds."""
+    c = _c(col)
+    ints = F.transform(
+        F.regexp_extract_all(c, F.lit(r"(\d+)"), 1),
+        lambda s: ((s.cast("long") / 100).cast("long") * 100).cast("string"),
+    )
+    return _empty_if_null(c, F.array_distinct(ints))
+
+
+def hundred_integers_odd(col: Column | str) -> Column:
+    """hundredIntegersOddPredicate (predicates.py:391-393) — hundreds
+    bucket plus parity bit."""
+    c = _c(col)
+    ints = F.transform(
+        F.regexp_extract_all(c, F.lit(r"(\d+)"), 1),
+        lambda s: F.concat_ws(
+            "@",
+            ((s.cast("long") / 100).cast("long") * 100).cast("string"),
+            (s.cast("long") % 2).cast("string"),
+        ),
+    )
+    return _empty_if_null(c, F.array_distinct(ints))
+
+
+def order_of_magnitude(col: Column | str) -> Column:
+    """orderOfMagnitude (predicates.py:537-542) — floor(log10(x)) for a
+    positive numeric column."""
+    c = _c(col).cast("double")
+    key = F.floor(F.log10(c)).cast("long").cast("string")
+    return F.when(c.isNull() | (c <= 0), F.array().cast("array<string>")).otherwise(
+        F.array(key)
+    )
+
+
+def round_to_1(col: Column | str) -> Column:
+    """roundTo1 (predicates.py:545-548) — one significant figure."""
+    c = _c(col).cast("double")
+    exp = F.floor(F.log10(F.abs(c)))
+    key = (F.round(c / F.pow(F.lit(10.0), exp)) * F.pow(F.lit(10.0), exp)).cast(
+        "long"
+    ).cast("string")
+    return F.when(c.isNull() | (c == 0), F.array(F.lit("0"))).otherwise(F.array(key))
+
+
+def latlong_grid(lat: Column | str, lon: Column | str) -> Column:
+    """latLongGridPredicate (predicates.py:521-534) — 0.1-degree grid
+    cell; empty for (0, 0) like the reference treats missing coords."""
+    la, lo = _c(lat).cast("double"), _c(lon).cast("double")
+    key = F.concat_ws(
+        ",", F.round(la, 1).cast("string"), F.round(lo, 1).cast("string")
+    )
+    missing = la.isNull() | lo.isNull() | ((la == 0) & (lo == 0))
+    return F.when(missing, F.array().cast("array<string>")).otherwise(F.array(key))
+
+
+def phonetic(col: Column | str) -> Column:
+    """doubleMetaphone-analog (predicates.py:476-479): phonetic code of
+    the whole field. Spark-native ``soundex`` stands in for the
+    doublemetaphone C extension — same role (phonetic canopy), documented
+    deviation; JVM-side, no UDF."""
+    c = _c(col)
+    return _empty_if_null(c, F.array(F.soundex(c)))
+
+
+def phonetic_tokens(col: Column | str) -> Column:
+    """metaphoneToken (predicates.py:482-484): phonetic code per word."""
+    c = _c(col)
+    return _empty_if_null(
+        c,
+        F.array_distinct(
+            F.transform(F.split(c, r"\s+"), lambda w: F.soundex(w))
+        ),
+    )
+
+
+def whole_set(col: Column | str) -> Column:
+    """wholeSetPredicate (predicates.py:487-489) — the sorted set as one
+    key (array-typed input column)."""
+    c = _c(col)
+    return _empty_if_null(c, F.array(F.concat_ws(",", F.array_sort(c))))
+
+
+def common_set_elements(col: Column | str) -> Column:
+    """commonSetElementPredicate (predicates.py:492-495) — each element
+    is a key (array-typed input)."""
+    c = _c(col)
+    return _empty_if_null(c, F.array_distinct(c.cast("array<string>")))
+
+
+def first_set_element(col: Column | str) -> Column:
+    """firstSetElementPredicate (predicates.py:507-509) on the sorted set."""
+    c = _c(col)
+    return F.when(
+        c.isNull() | (F.size(c) == 0), F.array().cast("array<string>")
+    ).otherwise(F.array(F.array_sort(c)[0].cast("string")))
+
+
+def last_set_element(col: Column | str) -> Column:
+    """lastSetElementPredicate (predicates.py:502-504) on the sorted set."""
+    c = _c(col)
+    return F.when(
+        c.isNull() | (F.size(c) == 0), F.array().cast("array<string>")
+    ).otherwise(F.array(F.element_at(F.array_sort(c), -1).cast("string")))
+
+
+def magnitude_of_cardinality(col: Column | str) -> Column:
+    """magnitudeOfCardinality (predicates.py:512-518) — order of magnitude
+    of the set size."""
+    c = _c(col)
+    return order_of_magnitude(F.size(c))
+
+
 def domain_key(url: Column | str) -> Column:
     """Normalized registrable-domain blocking key from a url — the graft's
     first compound component (north_star). Native parse_url-equivalent via

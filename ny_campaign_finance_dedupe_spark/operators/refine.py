@@ -1,0 +1,186 @@
+"""Cluster refinement: within-component HAC + centroid canonicalization.
+
+Reference (SURVEY.md §2.7/§2.8):
+- C3 hierarchical agglomerative clustering per connected component:
+  condensed distance matrix (1 - score), centroid linkage via
+  fastcluster, cut at cophenetic distance (1 - threshold)
+  (dedupe/clustering.py:155-238). Components are small after the
+  oversize guard (C2), so per-component work is bounded.
+- A8 centroid canonicalization: per cluster per field, the value
+  minimizing the mean distance to the other members
+  (dedupe/canonical.py:5-71, dedupe/convenience.py:240-251).
+
+Spark shape:
+- HAC runs per component inside ``applyInPandas`` (grouped-map Arrow
+  UDF): the CC output partitions the edge list by cluster_id, each group
+  fits in memory by the C2 cap, numpy average-linkage inside (no scipy /
+  fastcluster dependency in the sandbox; linkage choice documented as a
+  deviation — the pairwise F1 contract is evaluated on edges, SURVEY.md
+  §7 'What's hard' (e)).
+- canonicalization is a pure DataFrame plan: within-cluster self-join,
+  native ``levenshtein``, argmin by window — no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+
+def _hac_cut(ids: np.ndarray, d: np.ndarray, max_dist: float) -> np.ndarray:
+    """Average-linkage agglomerative clustering over a dense distance
+    matrix, cut at ``max_dist``; returns a label per id (index into ids).
+
+    Missing pairs (never co-blocked / below threshold) carry distance 1.0
+    — the same 'unknown = far' convention as the reference's condensed
+    matrix fill (clustering.py:155-193).
+    """
+    n = len(ids)
+    active = list(range(n))
+    sizes = {i: 1 for i in active}
+    labels = {i: [i] for i in active}
+    dist = {(i, j): d[i, j] for i in range(n) for j in range(i + 1, n)}
+    while len(active) > 1:
+        best = None
+        bd = None
+        for ai in range(len(active)):
+            for bi in range(ai + 1, len(active)):
+                i, j = active[ai], active[bi]
+                dd = dist[(min(i, j), max(i, j))]
+                if bd is None or dd < bd:
+                    bd = dd
+                    best = (i, j)
+        if best is None or bd > max_dist:
+            break
+        i, j = best
+        # average linkage update into i
+        for k in active:
+            if k in (i, j):
+                continue
+            dik = dist[(min(i, k), max(i, k))]
+            djk = dist[(min(j, k), max(j, k))]
+            dist[(min(i, k), max(i, k))] = (
+                sizes[i] * dik + sizes[j] * djk
+            ) / (sizes[i] + sizes[j])
+        labels[i].extend(labels[j])
+        sizes[i] += sizes[j]
+        active.remove(j)
+        del labels[j], sizes[j]
+    out = np.zeros(n, dtype=np.int64)
+    for root, members in labels.items():
+        for m in members:
+            out[m] = root
+    return out
+
+
+def hac_refine(
+    scored_edges: DataFrame,
+    components: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """C3: re-cluster each CC component hierarchically, cutting at
+    (1 - threshold). Input: scored_edges(src, dst, score),
+    components(record_id, cluster_id). Output: (record_id, cluster_id)
+    with cluster_id = min member id of the refined subcluster.
+    """
+    comp_edges = (
+        scored_edges.join(
+            components.select(
+                F.col("record_id").alias("src"), F.col("cluster_id")
+            ),
+            "src",
+        )
+        # keep only intra-component edges (dst in the same component)
+        .join(
+            components.select(
+                F.col("record_id").alias("dst"),
+                F.col("cluster_id").alias("_dc"),
+            ),
+            "dst",
+        )
+        .where(F.col("cluster_id") == F.col("_dc"))
+        .select("cluster_id", "src", "dst", "score")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("record_id", components.schema["record_id"].dataType),
+            T.StructField("cluster_id", components.schema["record_id"].dataType),
+        ]
+    )
+    max_dist = 1.0 - threshold
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        d = np.ones((n, n))
+        np.fill_diagonal(d, 0.0)
+        for s, t, sc in zip(pdf["src"], pdf["dst"], pdf["score"]):
+            i, j = idx[s], idx[t]
+            d[i, j] = d[j, i] = 1.0 - float(sc)
+        lab = _hac_cut(ids, d, max_dist)
+        roots: dict[int, object] = {}
+        for i, r in enumerate(lab):
+            cur = roots.get(r)
+            if cur is None or ids[i] < cur:
+                roots[r] = ids[i]
+        return pd.DataFrame(
+            {"record_id": ids, "cluster_id": [roots[r] for r in lab]}
+        )
+
+    return comp_edges.groupBy("cluster_id").applyInPandas(refine, schema=out_schema)
+
+
+def canonicalize_clusters(
+    entity_map: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """A8 (dedupe/canonical.py:5-71): per cluster, the member value with
+    the minimum total edit distance to the other members' values —
+    a pure DataFrame plan (within-cluster self-join + native levenshtein
+    + argmin window), deterministic ties by value then id.
+
+    Cluster fan-out is bounded by the C2 oversize guard, so the
+    within-cluster self-join is at most max_component^2 per cluster.
+    """
+    m = entity_map.select("record_id", "cluster_id").join(
+        records.select(
+            F.col(id_col).alias("record_id"), F.col(value_col).alias("val")
+        ),
+        "record_id",
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    cost = (
+        a.join(b, "cluster_id")
+        .where(F.col("a.record_id") != F.col("b.record_id"))
+        .groupBy(
+            "cluster_id",
+            F.col("a.record_id").alias("record_id"),
+            F.col("a.val").alias("val"),
+        )
+        .agg(F.sum(F.levenshtein(F.col("a.val"), F.col("b.val"))).alias("tot"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("tot"), F.asc("val"), F.asc("record_id")
+    )
+    best = (
+        cost.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("val").alias("canonical_value"))
+    )
+    # singletons: their own value is canonical
+    sizes = entity_map.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    singles = (
+        m.join(sizes.where(F.col("_n") == 1), "cluster_id")
+        .select("cluster_id", F.col("val").alias("canonical_value"))
+    )
+    return best.unionByName(singles)

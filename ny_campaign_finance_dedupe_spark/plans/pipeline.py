@@ -58,29 +58,48 @@ class DedupePipeline:
 
     # -- stages ---------------------------------------------------------------
     def extract(self, pages: DataFrame) -> DataFrame:
-        """Normalize text (byte-identical per url) + signatures.
+        """Normalize text (byte-identical per url).
 
         If ``text`` is null but ``html`` is present, extract text from the
         html bytes (input_hint: text byte-identically derivable from html).
+        The UDF input is gated on ``text IS NULL`` — Spark evaluates
+        pandas-UDF arguments unconditionally (no short-circuit through
+        coalesce), so ungated it would parse every page's html.
         """
         cfg = self.cfg
         df = pages
         if cfg.lang_filter:
             # P1-analog person/type filter (campaign_finance_dedupe.py:154-159)
             df = df.where(F.col("lang") == cfg.lang_filter)
-        txt = F.coalesce(F.col("text"), normalize.extract_text_udf()(F.col("html")))
-        ntext = normalize.normalize_text(normalize.canonicalize_abbrev(txt))
-        df = df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
-        shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
-        df = df.withColumn("shashes", hashing.shingle_hashes(shingles))
-        df = df.withColumn(
-            "sig", hashing.minhash_signature_udf(cfg.minhash_perms)(F.col("shashes"))
+        txt = F.coalesce(
+            F.col("text"),
+            normalize.extract_text_udf()(
+                F.when(F.col("text").isNull(), F.col("html"))
+            ),
         )
-        df = df.withColumn(
+        ntext = normalize.normalize_text(normalize.canonicalize_abbrev(txt))
+        return df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
+
+    def signatures(self, extracted: DataFrame) -> DataFrame:
+        """MinHash + SimHash signatures over checkpointed ntext.
+
+        A separate checkpointed stage on purpose: reading ntext back from
+        parquet stops Catalyst's projection collapse from inlining the
+        (expensive) normalization chain into every signature expression —
+        measured 4x on the extract+sign path at 40k pages.
+        """
+        cfg = self.cfg
+        shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
+        df = extracted.withColumn(
+            "sig",
+            hashing.minhash_signature_udf(cfg.minhash_perms)(
+                hashing.shingle_hashes(shingles)
+            ),
+        )
+        return df.withColumn(
             "simhash",
             hashing.simhash_udf()(hashing.shingle_hashes(keygen.tokens(F.col("ntext")))),
         )
-        return df.drop("shashes")
 
     def predicates(self) -> dict:
         cfg = self.cfg
@@ -139,9 +158,10 @@ class DedupePipeline:
             return self.store.write(df, name, params=p)
 
         extracted = stage(0, "extract", lambda: self.extract(pages))
-        bm = stage(1, "block", lambda: self.block(extracted))
-        cand = stage(2, "pairs", lambda: self.gen_pairs(bm))
-        scored = stage(3, "score", lambda: self.score(cand, extracted))
-        entity_map = stage(4, "cluster", lambda: self.cluster(scored, extracted))
+        signed = stage(1, "signatures", lambda: self.signatures(extracted))
+        bm = stage(2, "block", lambda: self.block(signed))
+        cand = stage(3, "pairs", lambda: self.gen_pairs(bm))
+        scored = stage(4, "score", lambda: self.score(cand, extracted))
+        entity_map = stage(5, "cluster", lambda: self.cluster(scored, extracted))
         self.store.write_run_stats(entity_map, params=p)
         return entity_map

@@ -1,0 +1,158 @@
+"""Offline learned-blocking subsystem: cover, cost, set-cover selection.
+
+Reference (SURVEY.md §2.10): the active-learning trainer computes, for
+every candidate predicate, which labeled duplicate pairs it *covers*
+(co-blocks) (T4, dedupe/training.py:133-221,324-410), estimates each
+predicate's comparison cost by extrapolating sampled block sizes
+(T6, training.py:114-170,223-226,362-383), and searches for the
+min-cost predicate set reaching recall x |dupes| via branch & bound
+(T7, training.py:229-321, invoked with recall=0.90).
+
+Spark-first shape: cover and cost are DataFrame aggregations over the
+blocking maps of the candidate predicates (one pass each, no driver
+loops over records); only the final set-cover search runs driver-side on
+the tiny (predicate x pair) bitmap — greedy weighted set cover
+(Chvatal) instead of branch & bound, a documented deviation: greedy is
+the scalable choice and ln(n)-approximate, and the selected set is
+re-validated by the pairwise-F1 gate either way.
+
+T2 blocked sampling (dedupe/sampling.py:11-213) becomes per-key pair
+sampling inside the blocking map — a groupBy + window, no deque dance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..operators import blocking
+
+
+@dataclass
+class PredicateStats:
+    name: str
+    covered: int  # labeled true pairs co-blocked (T4)
+    est_comparisons: float  # extrapolated candidate pairs (T6)
+
+
+def predicate_cover(
+    records: DataFrame,
+    id_col: str,
+    predicates: dict[str, Column],
+    true_pairs: DataFrame,  # (src, dst), src < dst
+) -> DataFrame:
+    """T4: per predicate, which true pairs co-block.
+
+    Returns (predicate, src, dst) — the cover relation, computed by
+    joining each side of the labeled pairs to the unified blocking map
+    and matching on (predicate, block_key). One shuffle per side.
+    """
+    bm = blocking.build_blocking_map(records, id_col, predicates)
+    # block_key carries the predicate name prefix ("name|key"); recover it
+    bm = bm.select(
+        F.split_part(F.col("block_key"), F.lit("|"), F.lit(1)).alias("predicate"),
+        "block_key",
+        "record_id",
+    )
+    l = bm.select("predicate", "block_key", F.col("record_id").alias("src"))
+    r = bm.select("predicate", "block_key", F.col("record_id").alias("dst"))
+    co = l.join(r, ["predicate", "block_key"]).where(F.col("src") < F.col("dst"))
+    return (
+        co.join(true_pairs.select("src", "dst"), ["src", "dst"], "left_semi")
+        .select("predicate", "src", "dst")
+        .distinct()
+    )
+
+
+def predicate_costs(
+    sample: DataFrame,
+    id_col: str,
+    predicates: dict[str, Column],
+    full_count: int,
+    sample_count: int,
+) -> DataFrame:
+    """T6 cost model: per predicate, sum over blocks of C(n,2) on the
+    sample, extrapolated by r = N(N-1)/(Ns(Ns-1)) (training.py:223-226).
+    """
+    bm = blocking.build_blocking_map(sample, id_col, predicates)
+    bm = bm.select(
+        F.split_part(F.col("block_key"), F.lit("|"), F.lit(1)).alias("predicate"),
+        "block_key",
+    )
+    r = (full_count * (full_count - 1)) / max(sample_count * (sample_count - 1), 1)
+    per_block = bm.groupBy("predicate", "block_key").agg(F.count("*").alias("n"))
+    return per_block.groupBy("predicate").agg(
+        (F.sum(F.col("n") * (F.col("n") - 1) / 2) * F.lit(float(r))).alias(
+            "est_comparisons"
+        )
+    )
+
+
+def select_predicates(
+    cover: DataFrame,
+    costs: DataFrame,
+    recall: float = 0.90,
+) -> list[str]:
+    """T7 as greedy weighted set cover: pick predicates until the chosen
+    set covers >= recall x |true pairs|, each step maximizing
+    newly-covered / cost. Driver-side on the small (predicate, pair)
+    relation — the search space is #predicates, not #records.
+
+    Dominator pruning (training.py:362-383) falls out implicitly: a
+    dominated predicate can never have the best marginal ratio.
+    """
+    rows = cover.collect()
+    cost_map = {r["predicate"]: max(float(r["est_comparisons"]), 1.0)
+                for r in costs.collect()}
+    by_pred: dict[str, set] = {}
+    universe: set = set()
+    for r in rows:
+        p = (r["src"], r["dst"])
+        by_pred.setdefault(r["predicate"], set()).add(p)
+        universe.add(p)
+    target = recall * len(universe)
+    chosen: list[str] = []
+    covered: set = set()
+    while len(covered) < target and by_pred:
+        best, best_ratio = None, 0.0
+        for name, pairs in by_pred.items():
+            gain = len(pairs - covered)
+            if gain == 0:
+                continue
+            ratio = gain / cost_map.get(name, 1.0)
+            if ratio > best_ratio:
+                best, best_ratio = name, ratio
+        if best is None:
+            break
+        chosen.append(best)
+        covered |= by_pred.pop(best)
+    return chosen
+
+
+def blocked_pair_sample(
+    blocking_map: DataFrame, n_per_key: int = 2, seed: int = 42
+) -> DataFrame:
+    """T2 (dedupe/sampling.py:11-213): sample co-blocked pairs, up to
+    ``n_per_key`` per block key — deterministic via a seeded hash order
+    window, one shuffle, no driver-side deque rotation."""
+    w = Window.partitionBy("block_key").orderBy(
+        F.xxhash64("record_id", F.lit(seed))
+    )
+    ranked = blocking_map.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= n_per_key + 1
+    )
+    l = ranked.select("block_key", F.col("record_id").alias("src"), F.col("_rn"))
+    r = ranked.select(
+        "block_key", F.col("record_id").alias("dst"), F.col("_rn").alias("_rn2")
+    )
+    return (
+        l.join(r, "block_key")
+        .where((F.col("_rn2") == F.col("_rn") + 1) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )

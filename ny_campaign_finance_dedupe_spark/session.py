@@ -43,6 +43,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sandbox-scale split sizing: checkpointed stages are a few MB
+        # here, and the 128m/64m defaults would collapse scans and
+        # post-shuffle stages to 1-2 partitions — serializing every
+        # downstream stage no matter how many cores local[N] has. On a
+        # real cluster the inputs dwarf these thresholds and the
+        # defaults (128m files / 64m advisory) are correct; override via
+        # env for cluster runs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "4m"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~ the reference's 20,000-pair scoring chunk (dedupe/core.py:279)

@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-STAGES = ["extract", "block", "pairs", "score", "cluster"]
+STAGES = ["extract", "signatures", "block", "pairs", "score", "cluster"]
 
 MATCH_RUNS_SCHEMA = T.StructType(
     [

@@ -37,7 +37,7 @@ def build_index(pages: DataFrame, cfg) -> DataFrame:
     from ..sources.checkpoint import CheckpointStore
 
     pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
-    extracted = pipe.extract(pages)
+    extracted = pipe.signatures(pipe.extract(pages))
     bm = pipe.block(extracted)
     return bm.join(
         extracted.select(F.col("url").alias("record_id"), "ntext"), "record_id"
@@ -61,7 +61,7 @@ def match_batch(
     from ..sources.checkpoint import CheckpointStore
 
     pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
-    ext = pipe.extract(batch)
+    ext = pipe.signatures(pipe.extract(batch))
     bm = pipe.block(ext)
     qk = bm.join(
         ext.select(F.col("url").alias("record_id"), F.col("ntext").alias("q_ntext")),

@@ -1,0 +1,93 @@
+"""Golden key sets for the extended predicate family (SURVEY.md §2.4)."""
+
+import pyspark.sql.functions as F
+
+from ny_campaign_finance_dedupe_spark.functions import keygen
+
+
+def keys(spark, expr_fn, value, *args, typ="string"):
+    df = spark.createDataFrame([(value,)], f"v {typ}")
+    row = df.select(expr_fn(F.col("v"), *args).alias("k")).collect()[0]
+    return set(row["k"]) if row["k"] is not None else set()
+
+
+def test_suffix_array(spark):
+    # suffixes of length >= 5 (predicates.py:462-469)
+    assert keys(spark, keygen.suffix_array, "abcdefg") == {
+        "abcdefg",
+        "bcdefg",
+        "cdefg",
+    }
+    assert keys(spark, keygen.suffix_array, "abcd") == set()
+    assert keys(spark, keygen.suffix_array, None) == set()
+
+
+def test_one_gram_fingerprint(spark):
+    assert keys(spark, keygen.one_gram_fingerprint, "b ab a") == {"ab"}
+    assert keys(spark, keygen.one_gram_fingerprint, "") == set()
+
+
+def test_two_gram_fingerprint(spark):
+    # "abab" -> 2-grams {ab, ba} sorted -> "abba" (spaces removed first)
+    assert keys(spark, keygen.two_gram_fingerprint, "ab ab") == {"abba"}
+    assert keys(spark, keygen.two_gram_fingerprint, "a") == set()
+
+
+def test_hundred_integers(spark):
+    assert keys(spark, keygen.hundred_integers, "got 123 and 4567") == {
+        "100",
+        "4500",
+    }
+
+
+def test_hundred_integers_odd(spark):
+    assert keys(spark, keygen.hundred_integers_odd, "123 124") == {
+        "100@1",
+        "100@0",
+    }
+
+
+def test_order_of_magnitude(spark):
+    assert keys(spark, keygen.order_of_magnitude, 4500.0, typ="double") == {"3"}
+    assert keys(spark, keygen.order_of_magnitude, 0.0, typ="double") == set()
+
+
+def test_round_to_1(spark):
+    assert keys(spark, keygen.round_to_1, 4501.0, typ="double") == {"5000"}
+    assert keys(spark, keygen.round_to_1, 0.0, typ="double") == {"0"}
+
+
+def test_latlong_grid(spark):
+    df = spark.createDataFrame([(40.712, -74.006)], "lat double, lon double")
+    row = df.select(
+        keygen.latlong_grid(F.col("lat"), F.col("lon")).alias("k")
+    ).collect()[0]
+    assert set(row["k"]) == {"40.7,-74.0"}
+    df0 = spark.createDataFrame([(0.0, 0.0)], "lat double, lon double")
+    assert (
+        df0.select(keygen.latlong_grid("lat", "lon").alias("k")).collect()[0]["k"]
+        == []
+    )
+
+
+def test_phonetic(spark):
+    # soundex('robert') == soundex('rupert') — the phonetic-canopy property
+    assert keys(spark, keygen.phonetic, "robert") == keys(
+        spark, keygen.phonetic, "rupert"
+    )
+    assert keys(spark, keygen.phonetic_tokens, "robert smith") == keys(
+        spark, keygen.phonetic_tokens, "rupert smyth"
+    )
+
+
+def test_set_predicates(spark):
+    df = spark.createDataFrame([(["b", "a", "c"],)], "v array<string>")
+
+    def k(fn):
+        return set(df.select(fn(F.col("v")).alias("k")).collect()[0]["k"])
+
+    assert k(keygen.whole_set) == {"a,b,c"}
+    assert k(keygen.common_set_elements) == {"a", "b", "c"}
+    assert k(keygen.first_set_element) == {"a"}
+    assert k(keygen.last_set_element) == {"c"}
+    assert k(keygen.magnitude_of_cardinality) == {"0"}

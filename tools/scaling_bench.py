@@ -1,0 +1,122 @@
+"""Two-cluster-size scaling evidence (north_rule).
+
+A real N vs 4N executor-count comparison is impossible in the sandbox,
+so the same job runs at two parallelism levels — ``local[8]`` and
+``local[32]`` — over the byte-identical synthetic pages table
+(synth.synth_pages is deterministic in (seed, n_pages) at any
+parallelism). Each level runs in its own subprocess (fresh JVM) and
+reports wall-clock for the full ER pipeline (extract -> block -> pairs
+-> score -> cluster, all checkpointed).
+
+Scaling efficiency (per-core normalized, BASELINE.md):
+
+    eff = throughput_32 / (4 * throughput_8)
+
+Usage:
+    python tools/scaling_bench.py [--pages 40000]      # orchestrates both
+    python tools/scaling_bench.py --worker --cores 8   # one level (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(cores: int, pages_n: int, seed: int) -> None:
+    from ny_campaign_finance_dedupe_spark.plans.pipeline import (
+        DedupePipeline,
+        PipelineConfig,
+    )
+    from ny_campaign_finance_dedupe_spark.session import get_spark
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
+    from ny_campaign_finance_dedupe_spark.synth import synth_pages
+
+    spark = get_spark(
+        f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages, _ = synth_pages(spark, n_pages=pages_n, seed=seed, partitions=2 * cores)
+    pages = pages.persist()
+    pages.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    store = CheckpointStore(tempfile.mkdtemp(prefix=f"nycfd_scale{cores}_"))
+    em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
+    rows = em.count()
+    secs = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "pages": pages_n,
+                "secs": round(secs, 2),
+                "pages_per_sec": round(pages_n / secs, 1),
+                "entity_map_rows": rows,
+            }
+        )
+    )
+
+
+def run_level(cores: int, pages_n: int, seed: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            "--cores",
+            str(cores),
+            "--pages",
+            str(pages_n),
+            "--seed",
+            str(seed),
+        ],
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    if out.returncode != 0 or not line.startswith("{"):
+        sys.stderr.write(out.stderr[-3000:])
+        raise RuntimeError(f"worker local[{cores}] failed rc={out.returncode}")
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=40000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--worker", action="store_true")
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores, args.pages, args.seed)
+        return
+    lo = run_level(8, args.pages, args.seed)
+    hi = run_level(32, args.pages, args.seed)
+    eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
+    assert lo["entity_map_rows"] == hi["entity_map_rows"], "nondeterministic output"
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "local8": lo,
+                "local32": hi,
+                "speedup_8_to_32": round(hi["pages_per_sec"] / lo["pages_per_sec"], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
