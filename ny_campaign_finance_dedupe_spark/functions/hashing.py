@@ -70,6 +70,63 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 7):
     return F.pandas_udf(batch, T.ArrayType(T.LongType()))
 
 
+def minhash_simhash_udf(num_perm: int = 64, seed: int = 7, bits: int = 64):
+    """Fused pandas UDF: gram_hashes -> struct<sig array<long>,
+    simhash long> in ONE Python round-trip over ONE shingle array.
+
+    Both signatures come from the same word-n-gram shingles. Simhash over
+    unigram tokens is a trap at scale: every page shares the language's
+    top tokens, so unrelated pages land within small Hamming distance and
+    the domain+band blocks blow up toward the cap (measured: ~4M
+    candidate pairs from 200k pages, dominated by correlated-simhash
+    blocks). Shingles are near-unique across non-duplicates, so shingle
+    simhash decorrelates — the same reason the reference strips
+    stop-words from its canopy index (canopy_index.py:20-38).
+    """
+    a, b = _perm_constants(num_perm, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def mh_one(hs):
+        if hs is None or len(hs) == 0:
+            return None
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        v = (a_u[:, None] * h[None, :] + b_u[:, None]) % np.uint64(MERSENNE_61)
+        return v.min(axis=1).astype(np.int64)
+
+    def sh_one(hs):
+        if hs is None or len(hs) == 0:
+            return None
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bitm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bitm.sum(axis=0) * 2 - len(h)
+        out = np.uint64(0)
+        for i in range(bits):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for grams in it:
+            # simhash MUST be built with pd.array(Int64): an object
+            # series with Nones (or .astype("Int64") on one) round-trips
+            # through float64 and zeroes the low ~11 bits of every hash
+            # (53-bit mantissa) — measured as a collapse of the band-key
+            # space to 1.7k values over 50k pages and a ~10x flood of
+            # candidate pairs.
+            yield pd.DataFrame(
+                {
+                    "sig": grams.map(mh_one),
+                    "simhash": pd.array(
+                        [sh_one(v) for v in grams], dtype="Int64"
+                    ),
+                }
+            )
+
+    return F.pandas_udf(batch, "sig array<long>, simhash long")
+
+
 def minhash_band_keys(sig: Column, bands: int, rows: int, prefix: str = "mh") -> Column:
     """signature -> array of band block-keys '<prefix><band>:<hash of r rows>'.
 
@@ -113,7 +170,16 @@ def simhash_udf(bits: int = 64):
             return np.int64(out.astype(np.int64))
 
         for s in it:
-            yield s.map(one)
+            # Construct via pd.array, NOT .astype("Int64") and NOT a raw
+            # object series: both of those round-trip through float64
+            # when the batch contains a None, truncating 64-bit hashes
+            # to 53-bit mantissas (low ~11 bits zeroed) — which quietly
+            # collapses the band-key space downstream.
+            yield pd.Series(
+                pd.array(
+                    [one(v) for v in s], dtype="Int64"
+                )
+            )
 
     return F.pandas_udf(batch, T.LongType())
 

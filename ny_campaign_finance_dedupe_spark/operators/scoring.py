@@ -59,11 +59,19 @@ def feature_columns(text_a: Column, text_b: Column) -> dict[str, Column]:
     jaccard = inter / (na + nb - inter)
     pa = F.substring(text_a, 1, LEV_PREFIX)
     pb = F.substring(text_b, 1, LEV_PREFIX)
-    lev = 1.0 - F.levenshtein(pa, pb) / F.greatest(
-        F.length(pa), F.length(pb), F.lit(1)
-    )
     ln = F.least(F.length(text_a), F.length(text_b)) / F.greatest(
         F.length(text_a), F.length(text_b), F.lit(1)
+    )
+    # Guard the O(len^2) comparator behind the cheap length-ratio test —
+    # the compound-predicate trick applied to scoring: wildly different
+    # lengths can't be matches, so skip the expensive distance (CASE
+    # short-circuits per row inside codegen).
+    lev = F.when(
+        ln < 0.4, F.lit(0.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein(pa, pb)
+        / F.greatest(F.length(pa), F.length(pb), F.lit(1))
     )
     present = text_a.isNotNull() & text_b.isNotNull()
     # NaN->0 + missing indicator (datamodel.py:96-115)

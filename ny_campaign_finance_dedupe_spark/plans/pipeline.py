@@ -34,12 +34,16 @@ from ..sources.checkpoint import STAGES, CheckpointStore
 class PipelineConfig:
     """The 'settings file' (dedupe/api.py:1069-1086) as plain data."""
 
+    # 8 bands x 8 rows: P(co-block) = 1-(1-s^8)^8 = 0.99 at Jaccard 0.9,
+    # 0.07 at Jaccard 0.5 — near-dups caught, template noise rejected.
+    # (16x4 was ~0.65 at s=0.5: ~22 candidate pairs/page at 200k pages,
+    # which is the quadratic blow-up the block cap exists to prevent.)
     minhash_perms: int = 64
-    minhash_bands: int = 16
-    minhash_rows: int = 4
+    minhash_bands: int = 8
+    minhash_rows: int = 8
     shingle_words: int = 3
     simhash_bands: int = 4
-    max_block_size: int = 200
+    max_block_size: int = 100
     score_threshold: float = 0.5
     max_component: int = clustering.MAX_COMPONENT
     lang_filter: str | None = None
@@ -90,16 +94,12 @@ class DedupePipeline:
         """
         cfg = self.cfg
         shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
-        df = extracted.withColumn(
-            "sig",
-            hashing.minhash_signature_udf(cfg.minhash_perms)(
-                hashing.shingle_hashes(shingles)
-            ),
+        fused = hashing.minhash_simhash_udf(cfg.minhash_perms)(
+            hashing.shingle_hashes(shingles)
         )
-        return df.withColumn(
-            "simhash",
-            hashing.simhash_udf()(hashing.shingle_hashes(keygen.tokens(F.col("ntext")))),
-        )
+        return extracted.withColumn("_s", fused).select(
+            "*", F.col("_s.sig").alias("sig"), F.col("_s.simhash").alias("simhash")
+        ).drop("_s")
 
     def predicates(self) -> dict:
         cfg = self.cfg

@@ -73,7 +73,7 @@ class CheckpointStore:
         return saved.get("params") == _canon(params)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self._data_path(stage))
+        return _spread(spark.read.parquet(self._data_path(stage)))
 
     def write(
         self,
@@ -89,7 +89,7 @@ class CheckpointStore:
         t0 = time.time()
         df.write.mode("overwrite").parquet(self._data_path(stage))
         wall = time.time() - t0
-        out = spark.read.parquet(self._data_path(stage))
+        out = _spread(spark.read.parquet(self._data_path(stage)))
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
@@ -160,6 +160,18 @@ class CheckpointStore:
             "params",
         ).write.mode("append").parquet(str(self.root / "match_runs"))
         return stats
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a checkpoint scan across all cores when the files are
+    too small to split that far (sandbox scale): a stage written as a
+    few MB of parquet would otherwise read back as 1-2 partitions and
+    serialize every downstream stage. On a real cluster the scan
+    partition count dwarfs defaultParallelism and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def _canon(params: dict) -> str:

@@ -75,3 +75,55 @@ def test_simhash_band_keys_native_hamming(spark):
     df = spark.createDataFrame([(1, 7), (2, 5)], "id long, sim long")
     out = df.select(hashing.hamming64(F.col("sim"), F.lit(5)).alias("h")).collect()
     assert [r["h"] for r in out] == [1, 0]
+
+
+def _offline_simhash(hashes):
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bitm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bitm.sum(axis=0) * 2 - len(h)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(out.astype(np.int64)))
+
+
+def test_simhash_exact_in_batches_with_nulls(spark):
+    """Regression: a batch containing a null row must not degrade the
+    OTHER rows' simhash precision. (An object series with Nones — or
+    .astype('Int64') on one — round-trips through float64 in the Arrow
+    serializer, zeroing the low ~11 bits of every 64-bit value and
+    collapsing the band-key space ~30x at 200k pages.)"""
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e unique{i} tok{i}") for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "id long, t string")
+    df = df.withColumn("hs", hashing.shingle_hashes(keygen.tokens(F.col("t"))))
+    got = {
+        r["id"]: (r["sim"], r["hs"])
+        for r in df.withColumn("sim", hashing.simhash_udf()(F.col("hs"))).collect()
+    }
+    assert got[40][0] is None
+    for i in range(40):
+        sim, hs = got[i]
+        assert sim == _offline_simhash(hs), f"row {i} lost precision"
+
+
+def test_fused_minhash_simhash_matches_singles(spark):
+    """The fused struct UDF must agree bit-for-bit with the composable
+    single-signature UDFs, nulls included."""
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(20)]
+    rows.append((20, None))
+    df = spark.createDataFrame(rows, "id long, t string")
+    df = df.withColumn("hs", hashing.shingle_hashes(keygen.tokens(F.col("t"))))
+    fused = df.withColumn("s", hashing.minhash_simhash_udf(32)(F.col("hs"))).select(
+        "id", F.col("s.sig").alias("sig"), F.col("s.simhash").alias("sim")
+    )
+    singles = df.withColumn(
+        "sig", hashing.minhash_signature_udf(32)(F.col("hs"))
+    ).withColumn("sim", hashing.simhash_udf()(F.col("hs")))
+    a = {r["id"]: (r["sig"], r["sim"]) for r in fused.collect()}
+    b = {r["id"]: (r["sig"], r["sim"]) for r in singles.collect()}
+    assert a == b

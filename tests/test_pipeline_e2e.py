@@ -76,6 +76,6 @@ def test_resume_from_cluster_reuses_checkpoints(spark, run):
 def test_resume_rejects_changed_params(spark, run):
     """A checkpoint written under different params must NOT be reused."""
     store = run["store"]
-    cfg2 = PipelineConfig(minhash_bands=8, minhash_rows=8)
+    cfg2 = PipelineConfig(minhash_bands=16, minhash_rows=4)
     assert not store.has("extract", cfg2.params())
     assert store.has("extract", PipelineConfig().params())
