@@ -85,14 +85,22 @@ def main() -> None:
     )
     from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
 
+    from ny_campaign_finance_dedupe_spark.session import scratch_dir
+
     pages, _ = synth_pages(spark, n_pages=n_bench_pages, seed=42)
     pages = pages.persist()
     pages.count()  # materialize input outside the timed region
+    os.makedirs(scratch_dir(), exist_ok=True)
     t0 = time.perf_counter()
-    store = CheckpointStore(tempfile.mkdtemp(prefix="nycfd_bench_"))
+    store = CheckpointStore(
+        tempfile.mkdtemp(prefix="nycfd_bench_", dir=scratch_dir())
+    )
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     n_out = em.count()
     er_secs = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(store.root, ignore_errors=True)
     timings["er_pipeline_synth"] = round(er_secs, 3)
     pages_per_sec = n_bench_pages / er_secs if er_secs > 0 else 0.0
 

@@ -116,21 +116,18 @@ def cluster_edges(
     """
     edges = scored_pairs.where(F.col("score") >= threshold)
     if id_type == "string":
+        # forward hashing is a pure expression (xxhash64 is deterministic)
+        # — no idmap join on the way in; the map back joins a derived
+        # (nid -> rid) projection once per output column.
+        nedges = edges.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
         idmap = (
             edges.select(F.col("src").alias("rid"))
             .union(edges.select(F.col("dst")))
             .distinct()
             .select("rid", F.xxhash64("rid").alias("nid"))
             .localCheckpoint()
-        )
-        nedges = (
-            edges.join(idmap.withColumnRenamed("rid", "src"), "src")
-            .withColumnRenamed("nid", "nsrc")
-            .join(
-                idmap.select(F.col("rid").alias("dst"), F.col("nid").alias("ndst")),
-                "dst",
-            )
-            .select(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
         )
         comp = connected_components(nedges)
         comp = (

@@ -23,6 +23,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def scratch_dir() -> str:
+    """Scratch root for checkpoints/shuffle in the sandbox.
+
+    Prefers tmpfs (/dev/shm): a single box's disk is a serial resource
+    that caps scaling no matter the core count, whereas the real
+    deployment writes checkpoints to object storage and shuffle to
+    per-executor local disks — both of which scale with the executor
+    count. tmpfs is the sandbox stand-in with the same scaling shape.
+    Override with $SPARK_GRAFT_SCRATCH.
+    """
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/nycfd-scratch"
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "nycfd-spark",
     master: str | None = None,
@@ -64,6 +84,7 @@ def get_spark(
         # ~ the reference's 20,000-pair scoring chunk (dedupe/core.py:279)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", os.path.join(scratch_dir(), "spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

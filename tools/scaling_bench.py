@@ -31,11 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def worker(cores: int, pages_n: int, seed: int) -> None:
+    import shutil
+
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
         PipelineConfig,
     )
-    from ny_campaign_finance_dedupe_spark.session import get_spark
+    from ny_campaign_finance_dedupe_spark.session import get_spark, scratch_dir
     from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
     from ny_campaign_finance_dedupe_spark.synth import synth_pages
 
@@ -48,11 +50,14 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     pages, _ = synth_pages(spark, n_pages=pages_n, seed=seed, partitions=2 * cores)
     pages = pages.persist()
     pages.count()  # materialize input outside the timed region
+    os.makedirs(scratch_dir(), exist_ok=True)
+    ckpt_root = tempfile.mkdtemp(prefix=f"nycfd_scale{cores}_", dir=scratch_dir())
     t0 = time.perf_counter()
-    store = CheckpointStore(tempfile.mkdtemp(prefix=f"nycfd_scale{cores}_"))
+    store = CheckpointStore(ckpt_root)
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     rows = em.count()
     secs = time.perf_counter() - t0
+    shutil.rmtree(ckpt_root, ignore_errors=True)
     print(
         json.dumps(
             {
@@ -95,24 +100,26 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=40000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--lo", type=int, default=8, help="N cores")
+    ap.add_argument("--hi", type=int, default=32, help="4N cores")
     ap.add_argument("--worker", action="store_true")
     args = ap.parse_args()
     if args.worker:
         worker(args.cores, args.pages, args.seed)
         return
-    lo = run_level(8, args.pages, args.seed)
-    hi = run_level(32, args.pages, args.seed)
+    lo = run_level(args.lo, args.pages, args.seed)
+    hi = run_level(args.hi, args.pages, args.seed)
     eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
     assert lo["entity_map_rows"] == hi["entity_map_rows"], "nondeterministic output"
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32",
+                "metric": f"scaling_efficiency_{args.lo}_to_{args.hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "local8": lo,
-                "local32": hi,
-                "speedup_8_to_32": round(hi["pages_per_sec"] / lo["pages_per_sec"], 2),
+                "lo": lo,
+                "hi": hi,
+                "speedup": round(hi["pages_per_sec"] / lo["pages_per_sec"], 2),
             }
         )
     )
