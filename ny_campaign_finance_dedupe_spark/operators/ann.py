@@ -1,23 +1,33 @@
 """Similarity search over embedding columns (array<float>).
 
 Two physical strategies behind one contract:
-- ``brute_force_topk``: exact — cross join + native dot-product
-  expression + per-query window top-k. Correctness baseline and the
-  right plan when one side broadcasts (queries small, corpus large).
+- ``brute_force_topk``: exact — broadcast the (small) normalized query
+  matrix, stream the corpus through a mapInPandas GEMM (one
+  numpy matmul per Arrow batch), keep batch-local top-k, global window
+  top-k. The corpus never shuffles; per-batch pruning keeps the exchange
+  at O(n_queries x k x n_batches) rows.
 - ``lsh_topk``: scale path — random-hyperplane LSH buckets
   (sign-pattern key per band) so the join is an equi-join on bucket id;
-  exact cosine re-rank within the union of probed buckets. Recall is
-  tunable by (bands, bits); the candidate generation is the same
-  banded-key shape as MinHash blocking — one shuffle, no n^2.
+  exact cosine re-rank (Arrow-batched einsum) within the union of
+  probed buckets. Recall is tunable by (bands, bits); the candidate
+  generation is the same banded-key shape as MinHash blocking — one
+  shuffle, no n^2.
 
-The cosine kernel is a pure Catalyst expression (zip_with + aggregate in
-doubles) — stays in codegen, no Python, no UDF serialization of vectors.
+``dot``/``norm``/``cosine`` remain available as pure Catalyst
+expressions (zip_with + aggregate) for composition inside larger
+column-level plans; the hot paths use the Arrow kernels — higher-order
+array functions are interpreted per element and measured ~20x slower
+than one matmul per batch.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -43,6 +53,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, row-normalized float64 matrix) for the SMALL
+    side of a similarity plan. The collected side must fit the driver —
+    same contract as any broadcast join build side."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, _norm_rows(m)
+
+
+def cosine_batch_udf():
+    """Arrow-batched cosine between two array columns: one einsum per
+    batch instead of an interpreted aggregate per row (~20x)."""
+
+    def batch(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for a, b in it:
+            if len(a) == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            ma = _norm_rows(np.vstack([np.asarray(v, np.float64) for v in a]))
+            mb = _norm_rows(np.vstack([np.asarray(v, np.float64) for v in b]))
+            yield pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return F.pandas_udf(batch, T.DoubleType())
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -54,27 +98,46 @@ def brute_force_topk(
     """Exact top-k by cosine: (query_id, neighbor_id, rank, cosine).
 
     Self-search convention: a vector is never its own neighbor.
-    Physical plan: BroadcastNestedLoopJoin with the (small) query side
-    broadcast — each corpus partition streams once; per-query top-k via
-    window. On a cluster the corpus never shuffles.
+    Physical plan: the (small) normalized query matrix is a broadcast
+    variable; each corpus Arrow batch does ONE GEMM against it and emits
+    only its batch-local top-k rows per query; a global window rank
+    finishes. The corpus never shuffles; the exchange carries
+    O(n_queries x k x n_batches) rows, not n_q x n_c.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    spark = corpus.sparkSession
+    q_ids, q_mat = _matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    id_type = corpus.schema[id_col].dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
-    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _norm_rows(
+                np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            )
+            sims = cm @ qm.T  # (n_batch, n_q)
+            nb = pdf[id_col].to_numpy()
+            kk = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
+            qi = np.repeat(ids, kk)
+            ni = nb[top.T.ravel()]
+            cs = sims[top.T.ravel(), np.repeat(np.arange(len(ids)), kk)]
+            keep = qi != ni
+            yield pd.DataFrame(
+                {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine": cs[keep]}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(gemm, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -98,20 +161,34 @@ def bucket_keys(
     Each band key is the sign bit pattern of ``bits`` fixed random
     hyperplane projections (Charikar SimHash for real vectors) — two
     vectors at angle theta collide in a band with prob
-    (1 - theta/pi)^bits. Constants are driver-generated (seeded) literal
-    arrays, so the whole thing is a native expression.
+    (1 - theta/pi)^bits. The (bands*bits, dim) hyperplane matrix is
+    seeded, generated in-process on every executor (closure constant),
+    and applied as ONE GEMM per Arrow batch — the literal-array
+    expression form evaluated an interpreted dot product per plane per
+    row (~bands*bits*dim interpreted ops/row).
     """
-    keys = []
-    planes = _hyperplanes(dim, bands, bits, seed)
-    for b in range(bands):
-        bit_cols = []
-        for i in range(bits):
-            plane = F.array(*[F.lit(float(v)) for v in planes[b][i]])
-            bit_cols.append(
-                F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        keys.append(F.concat(F.lit(f"b{b}:"), *bit_cols))
-    return F.array(*keys)
+    planes = np.asarray(_hyperplanes(dim, bands, bits, seed), dtype=np.float64)
+    flat_planes = planes.reshape(bands * bits, dim)
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            m = np.vstack([np.asarray(v, np.float64) for v in s])
+            signs = (m @ flat_planes.T >= 0).astype(np.uint8)  # (n, bands*bits)
+            out = []
+            for row in signs:
+                bitstr = row.astype("U1")
+                out.append(
+                    [
+                        f"b{b}:" + "".join(bitstr[b * bits : (b + 1) * bits])
+                        for b in range(bands)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return F.pandas_udf(batch, T.ArrayType(T.StringType()))(vec)
 
 
 def lsh_topk(
@@ -145,7 +222,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("queryv"), F.col("neighborv")).alias("cosine"),
+            cosine_batch_udf()(F.col("queryv"), F.col("neighborv")).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -162,14 +241,40 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (src < dst). Exact (cross-join)
-    kernel — at scale, feed candidates from ``bucket_keys`` instead; the
-    filter and output contract are identical."""
-    a = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    """All pairs with cosine >= threshold (src < dst). Exact kernel: the
+    normalized matrix is a broadcast variable and each Arrow batch does
+    one GEMM against it, emitting only over-threshold pairs — the
+    exchange carries results, never the n^2 pair space. At scale, feed
+    candidates from ``bucket_keys`` instead; the output contract is
+    identical."""
+    spark = df.sparkSession
+    ids, mat = _matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("src", id_type),
+            T.StructField("dst", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _norm_rows(
+                np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            )
+            sims = cm @ m.T  # (n_batch, n_all)
+            rows = pdf[id_col].to_numpy()
+            ri, ci = np.nonzero(sims >= threshold)
+            src = rows[ri]
+            dst = all_ids[ci]
+            keep = src < dst
+            yield pd.DataFrame(
+                {"src": src[keep], "dst": dst[keep], "cosine": sims[ri, ci][keep]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gemm, schema=out_schema)

@@ -120,6 +120,9 @@ def minhash_candidate_pairs(
         )
         .where(F.col("sig").isNotNull())
         .select("record_id", "sig")
+        # reused by the band-key explode AND both hydration sides below:
+        # without a persist the signature UDF subtree evaluates 3x.
+        .persist()
     )
     bm = sig.select(
         "record_id",
@@ -176,6 +179,7 @@ def simhash_near_pairs(
         )
         .where(F.col("simhash").isNotNull())
         .select("record_id", "simhash")
+        .persist()  # reused 3x (band explode + both hydration sides)
     )
     bm = sh.select(
         "record_id",
