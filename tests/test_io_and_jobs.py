@@ -1,0 +1,79 @@
+"""S-family sources/sinks + the spark-submit job entrypoint."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from ny_campaign_finance_dedupe_spark.operators.scoring import LogisticModel
+from ny_campaign_finance_dedupe_spark.sources import io as nio
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_read_fixed_csv_latin1(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_bytes("1,caf\xe9,x\n2,b,y\n".encode("latin-1"))
+    df = nio.read_fixed_csv(
+        spark, str(p), ["id", "name", "flag"], encoding="latin-1"
+    )
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {"1": "café", "2": "b"}
+
+
+def test_csv_snapshot_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = tmp_path / "snap"
+    nio.write_csv_snapshot(df, str(out))
+    back = spark.read.option("header", True).csv(str(out))
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("1", "a"), ("2", "b")}
+
+
+def test_model_artifact_roundtrip(tmp_path):
+    m = LogisticModel()
+    path = tmp_path / "settings.json"
+    nio.save_model_artifact(str(path), m.to_dict(), {"threshold": 0.5})
+    model, params = nio.load_model_artifact(str(path))
+    assert LogisticModel.from_dict(model).weights == m.weights
+    assert params == {"threshold": 0.5}
+
+
+def test_training_pairs_roundtrip(spark, tmp_path):
+    p = tmp_path / "training.json"
+    p.write_text(json.dumps({"match": [["u2", "u1"]], "distinct": [["u3", "u4"]]}))
+    df = nio.read_training_pairs(spark, str(p))
+    rows = {(r["url_a"], r["url_b"], r["label"]) for r in df.collect()}
+    assert rows == {("u1", "u2", 1), ("u3", "u4", 0)}
+    out = tmp_path / "out.json"
+    nio.write_training_pairs(df, str(out))
+    assert json.loads(out.read_text()) == {
+        "match": [["u1", "u2"]],
+        "distinct": [["u3", "u4"]],
+    }
+
+
+def test_make_pyfiles_and_job_entrypoint(tmp_path):
+    """Package the zip and run the spark-submit entrypoint end-to-end
+    (python invocation stands in for spark-submit in local mode — the
+    script only uses the session factory, no submit-only APIs)."""
+    z = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    )
+    assert Path(z.stdout.strip()).exists()
+    out = subprocess.run(
+        [
+            sys.executable, str(ROOT / "jobs" / "run_pipeline.py"),
+            "--input", "synth:400",
+            "--checkpoint-root", str(tmp_path / "ckpt"),
+            "--output", str(tmp_path / "em"),
+        ],
+        capture_output=True, text=True, check=False, timeout=600,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 400
+    assert res["cluster_stats"]["total_records"] == 400
