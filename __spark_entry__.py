@@ -476,6 +476,38 @@ def q_incremental_match(spark, sf_dir):
     )
 
 
+def q_salted_pairs(spark, sf_dir):
+    """Skew-safe pair generation: hot-key bucket-grid salting MUST equal
+    the plain blocking self-join (same oracle as
+    blocking_first_token_pairs — that equality IS the check)."""
+    docs = _t(spark, sf_dir, "documents")
+    bm = blocking.build_blocking_map(
+        docs, "doc_id", {"ft": keygen.first_token(F.col("text"))}
+    )
+    return pairs_ops.salted_candidate_pairs(bm, hot_threshold=20, salt=8).orderBy(
+        "src", "dst"
+    )
+
+
+def q_identity_join(spark, sf_dir):
+    """J5 (init_postgres_db.py:255-295): exact-identity join on
+    null-coalesced multi-column equality — Spark's null-safe <=> is the
+    idiomatic form of the reference's COALESCE(col,'') equality."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.text").eqNullSafe(F.col("b.text"))
+            & F.col("a.lang").eqNullSafe(F.col("b.lang")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .orderBy("src", "dst")
+    )
+
+
 def q_er_pipeline(spark, sf_dir):
     """The flagship three-stage ER pipeline over documents-as-pages."""
     docs = _t(spark, sf_dir, "documents")
@@ -516,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_cover": q_predicate_cover,
         "keygen_text": q_keygen_text,
         "hundred_buckets": q_hundred_buckets,
+        "identity_join": q_identity_join,
+        "salted_pairs": q_salted_pairs,
         "greedy_link": q_greedy_link,
         "hac_refine": q_hac_refine,
         "phonetic_keys": q_phonetic_keys,
@@ -838,6 +872,24 @@ def oracle_sql() -> dict[str, str]:
         "hundred_buckets": """
             SELECT (o_orderkey // 100 * 100) AS bucket, COUNT(*) AS n
             FROM orders GROUP BY 1 ORDER BY bucket
+        """,
+        "salted_pairs": """
+            WITH b AS (
+              SELECT doc_id, split_part(text, ' ', 1) AS k
+              FROM documents WHERE text IS NOT NULL
+                AND split_part(text, ' ', 1) <> ''
+            )
+            SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+            FROM b l JOIN b r ON l.k = r.k AND l.doc_id < r.doc_id
+            ORDER BY src, dst
+        """,
+        "identity_join": """
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM documents a JOIN documents b
+              ON a.text IS NOT DISTINCT FROM b.text
+             AND a.lang IS NOT DISTINCT FROM b.lang
+            WHERE a.doc_id < b.doc_id
+            ORDER BY src, dst
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

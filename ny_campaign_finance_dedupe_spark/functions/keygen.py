@@ -311,6 +311,33 @@ def magnitude_of_cardinality(col: Column | str) -> Column:
     return order_of_magnitude(F.size(c))
 
 
+def typo_variants(col: Column | str) -> Column:
+    """N6 (clean_donors.py:6-27 generate_word_list): candidate typo keys
+    for a single word — prefixes (len>=4), consonant skeleton, adjacent
+    transpositions. Exploration helper, not a hot-path predicate; all
+    native (substring walk + regexp + transform)."""
+    c = _c(col)
+    n = F.length(c)
+    prefixes = F.when(n <= 4, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(4), n - 1), lambda k: F.substring(c, 1, k))
+    )
+    skeleton = F.array(F.regexp_replace(c, r"[aeiou]", ""))
+    transpos = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.substring(c, 1, i - 1),
+                F.substring(c, i + 1, 1),
+                F.substring(c, i, 1),
+                c.substr(i + 2, n),
+            ),
+        )
+    )
+    return _empty_if_null(
+        c, F.array_distinct(F.concat(F.array(c), prefixes, skeleton, transpos))
+    )
+
+
 def domain_key(url: Column | str) -> Column:
     """Normalized registrable-domain blocking key from a url — the graft's
     first compound component (north_star). Native parse_url-equivalent via

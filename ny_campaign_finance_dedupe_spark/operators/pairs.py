@@ -90,6 +90,59 @@ def hydrate_pairs(
     return pairs.join(a, "src").join(b, "dst")
 
 
+def salted_candidate_pairs(
+    blocking_map: DataFrame,
+    hot_threshold: int = 1_000,
+    salt: int = 16,
+) -> DataFrame:
+    """Candidate pairs with explicit hot-key salting (north_rule skew
+    handling, alongside the block cap and AQE skew-join).
+
+    Semantics are IDENTICAL to ``candidate_pairs`` — every co-blocked
+    pair is still emitted — but a hot key's triangle is computed as a
+    bucket grid: each record lands in bucket h = hash(id) % salt, and
+    the left side replicates to every bucket pair (b, b2>=b), so one
+    task never holds more than (m/salt)^2 of a hot block's pair space.
+    Replication factor ~salt/2 on the hot keys only; cold keys take the
+    plain self-join path. This is the completeness-preserving form of
+    salting (a per-bucket-only join would silently drop cross-bucket
+    pairs).
+    """
+    sizes = blocking_map.groupBy("block_key").count()
+    hot_keys = sizes.where(F.col("count") > hot_threshold).select("block_key")
+    cold = blocking_map.join(F.broadcast(hot_keys), "block_key", "left_anti")
+    cold_pairs = (
+        cold.alias("l")
+        .join(cold.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst")
+        )
+    )
+    hot = blocking_map.join(F.broadcast(hot_keys), "block_key", "left_semi")
+    hot = hot.withColumn(
+        "bucket", F.pmod(F.xxhash64("record_id"), F.lit(salt)).cast("int")
+    )
+    l = hot.withColumn(
+        "b2", F.explode(F.sequence(F.col("bucket"), F.lit(salt - 1)))
+    ).select("block_key", F.col("record_id").alias("src"), "b2")
+    r = hot.select(
+        "block_key", F.col("record_id").alias("dst"), F.col("bucket").alias("b2")
+    )
+    # canonicalize with least/greatest, NOT src<dst: a pair whose
+    # exploding-side id is the larger one would otherwise be dropped
+    # (the grid only guarantees one of the two orientations appears).
+    hot_pairs = (
+        l.join(r, ["block_key", "b2"])
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["src", "dst"])
+
+
 def record_link_pairs(bm_a: DataFrame, bm_b: DataFrame) -> DataFrame:
     """Two-dataset linkage join (J3, dedupe/api.py:392-395): A x B on
     block_key, no triangular filter (ids live in different namespaces)."""

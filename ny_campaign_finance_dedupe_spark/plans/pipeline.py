@@ -44,6 +44,12 @@ class PipelineConfig:
     shingle_words: int = 3
     simhash_bands: int = 4
     max_block_size: int = 100
+    # candidate generation strategy: "join" (plain self-join + AQE),
+    # "salted" (hot-key bucket grid, pairs.salted_candidate_pairs), or
+    # "cogroup" (north_star's groupBy-cogroup emission)
+    pair_strategy: str = "join"
+    salt_hot_threshold: int = 1_000
+    salt: int = 16
     score_threshold: float = 0.5
     max_component: int = clustering.MAX_COMPONENT
     lang_filter: str | None = None
@@ -121,6 +127,13 @@ class DedupePipeline:
         return blocking.cap_blocks(bm, self.cfg.max_block_size)
 
     def gen_pairs(self, blocking_map: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.pair_strategy == "salted":
+            return pairs.salted_candidate_pairs(
+                blocking_map, cfg.salt_hot_threshold, cfg.salt
+            )
+        if cfg.pair_strategy == "cogroup":
+            return pairs.pairs_via_cogroup(blocking_map)
         return pairs.candidate_pairs(blocking_map)
 
     def score(self, cand: DataFrame, extracted: DataFrame) -> DataFrame:

@@ -149,3 +149,25 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(df, every_n=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
     assert bytes(frames[0]["frame_payload"]) == bytes(range(30))
+
+
+def test_salted_candidate_pairs_matches_plain(spark):
+    """Salting must preserve the exact pair set of the plain self-join
+    (completeness under skew — north_rule)."""
+    import pyspark.sql.functions as F
+
+    from ny_campaign_finance_dedupe_spark.operators import pairs as P
+
+    rows = [("hot", f"r{i:03d}") for i in range(40)] + [
+        ("cold1", "a"), ("cold1", "b"), ("cold2", "c")
+    ]
+    bm = spark.createDataFrame(rows, "block_key string, record_id string")
+    plain = {
+        (r["src"], r["dst"]) for r in P.candidate_pairs(bm).collect()
+    }
+    salted = {
+        (r["src"], r["dst"])
+        for r in P.salted_candidate_pairs(bm, hot_threshold=10, salt=4).collect()
+    }
+    assert salted == plain
+    assert len(plain) == 40 * 39 // 2 + 1

@@ -91,3 +91,13 @@ def test_set_predicates(spark):
     assert k(keygen.first_set_element) == {"a"}
     assert k(keygen.last_set_element) == {"c"}
     assert k(keygen.magnitude_of_cardinality) == {"0"}
+
+
+def test_typo_variants(spark):
+    got = keys(spark, keygen.typo_variants, "hello")
+    assert "hello" in got          # identity
+    assert "hell" in got           # prefix >= 4
+    assert "hll" in got            # consonant skeleton
+    assert "ehllo" in got          # transposition of chars 1-2
+    assert "helol" in got          # transposition of chars 4-5
+    assert keys(spark, keygen.typo_variants, None) == set()
