@@ -163,6 +163,101 @@ def train_logistic(
     )
 
 
+VARIABLE_TYPES = ("String", "Text", "Exact", "Price", "LatLong", "Set",
+                  "Categorical", "Exists")
+
+
+def variable_features(spec: list[dict]) -> dict[str, Column]:
+    """Compile the reference's declarative variable definition list
+    (campaign_finance_dedupe.py:172-178; registry dedupe/variables/*) to
+    named Catalyst feature expressions over hydrated pair columns
+    ``<field>_a`` / ``<field>_b``.
+
+    | type | distance | reference |
+    |---|---|---|
+    | String/Text | token-set cosine + bounded levenshtein ratio | variables/string.py:45-93 |
+    | Exact | 0/1 equality | variables/exact.py:5-14 |
+    | Price | abs(log10(a) - log10(b)), NaN->0 for non-positive | variables/price.py:6-19 |
+    | LatLong | sqrt(haversine km) | variables/latlong.py:8-15 |
+    | Set | array cosine overlap | variables/set.py:6-27 |
+    | Categorical | one 0/1 column per observed category pair is the
+      reference's dummy expansion; here: equality + per-category match
+      columns for listed categories | variables/categorical_type.py:6-34 |
+    | Exists | both-present / one-present indicators | variables/exists.py:8-35 |
+
+    Entries: {"field": name, "type": t, "has missing": bool,
+    "categories": [...], "interaction": [f1, f2]}. Interactions
+    (variables/interaction.py:5-61) multiply previously-defined feature
+    columns. Every feature NaN/null-coalesces to 0 with a companion
+    ``<field>_missing`` indicator when "has missing" is set
+    (datamodel.py:96-115).
+    """
+    out: dict[str, Column] = {}
+    for var in spec:
+        t = var.get("type", "String")
+        if t == "Interaction":
+            f1, f2 = var["interaction"]
+            out[f"{f1}_x_{f2}"] = out[f1] * out[f2]
+            continue
+        f = var["field"]
+        a, b = F.col(f"{f}_a"), F.col(f"{f}_b")
+        present = a.isNotNull() & b.isNotNull()
+        if t in ("String", "Text"):
+            cols = feature_columns(a, b)
+            expr = (cols["f_cosine"] + cols["f_lev"]) / 2.0
+        elif t == "Exact":
+            expr = (a == b).cast("double")
+        elif t == "Price":
+            da, db = a.cast("double"), b.cast("double")
+            expr = F.when(
+                (da > 0) & (db > 0), F.abs(F.log10(da) - F.log10(db))
+            ).otherwise(0.0)
+        elif t == "LatLong":
+            # field packs "lat,lon"; sqrt(haversine) like latlong.py:8-15
+            def _ll(c):
+                return (
+                    F.radians(F.split(c, ",")[0].cast("double")),
+                    F.radians(F.split(c, ",")[1].cast("double")),
+                )
+
+            la1, lo1 = _ll(a)
+            la2, lo2 = _ll(b)
+            h = (
+                F.pow(F.sin((la2 - la1) / 2), 2)
+                + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2)
+            )
+            km = 6371.0 * 2 * F.asin(F.sqrt(h))
+            expr = F.sqrt(km)
+        elif t == "Set":
+            inter = F.size(F.array_intersect(a, b)).cast("double")
+            expr = inter / F.sqrt(
+                F.size(a).cast("double") * F.size(b).cast("double")
+            )
+        elif t == "Categorical":
+            expr = (a == b).cast("double")
+            for cat in var.get("categories", []):
+                out[f"{f}_is_{cat}"] = (
+                    present & (a == cat) & (b == cat)
+                ).cast("double")
+        elif t == "Exists":
+            out[f"{f}_both"] = present.cast("double")
+            out[f"{f}_one"] = (
+                a.isNotNull() != b.isNotNull()
+            ).cast("double")
+            continue
+        else:
+            raise ValueError(f"unknown variable type: {t}")
+        out[f] = F.when(present, F.coalesce(expr, F.lit(0.0))).otherwise(0.0)
+        if var.get("has missing"):
+            out[f"{f}_missing"] = (~present).cast("double")
+    return out
+
+
+def with_variable_features(pairs: DataFrame, spec: list[dict]) -> DataFrame:
+    cols = variable_features(spec)
+    return pairs.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
 def jaro_winkler_udf():
     """Custom-comparator extension point (variables/base.py:75-91):
     Arrow-batched pandas UDF computing Jaro-Winkler similarity."""
