@@ -171,3 +171,15 @@ def test_salted_candidate_pairs_matches_plain(spark):
     }
     assert salted == plain
     assert len(plain) == 40 * 39 // 2 + 1
+
+
+def test_cogroup_pairs_match_join_pairs(spark):
+    """The two physical pair-generation strategies are semantically
+    identical (north_star's salted groupBy-cogroup alternative)."""
+    from ny_campaign_finance_dedupe_spark.operators import pairs as P
+
+    rows = [("k1", 3), ("k1", 1), ("k1", 2), ("k2", 5), ("k2", 4), ("k3", 9)]
+    bm = spark.createDataFrame(rows, "block_key string, record_id long")
+    a = {(r["src"], r["dst"]) for r in P.candidate_pairs(bm).collect()}
+    b = {(r["src"], r["dst"]) for r in P.pairs_via_cogroup(bm).collect()}
+    assert a == b == {(1, 2), (1, 3), (2, 3), (4, 5)}

@@ -79,3 +79,29 @@ def test_resume_rejects_changed_params(spark, run):
     cfg2 = PipelineConfig(minhash_bands=16, minhash_rows=4)
     assert not store.has("extract", cfg2.params())
     assert store.has("extract", PipelineConfig().params())
+
+
+def test_pipeline_with_hac_refinement(spark, tmp_path):
+    """use_hac=True (C3) must keep every record exactly once and not
+    break the F1 contract on a small synth table."""
+    from ny_campaign_finance_dedupe_spark.plans.evaluate import evaluate_pairs
+    from ny_campaign_finance_dedupe_spark.plans.pipeline import (
+        DedupePipeline,
+        PipelineConfig,
+    )
+
+    pages, entities = synth_pages(spark, n_pages=600, seed=3)
+    pages = pages.localCheckpoint()
+    store = CheckpointStore(str(tmp_path), run_id="hac")
+    cfg = PipelineConfig(use_hac=True)
+    em = DedupePipeline(cfg, store).run(spark, pages)
+    assert em.count() == 600
+    assert em.select("record_id").distinct().count() == 600
+    cand = store.read(spark, "pairs")
+    pred = (
+        store.read(spark, "score")
+        .where(F.col("score") >= cfg.score_threshold)
+        .select("src", "dst")
+    )
+    ev = evaluate_pairs(pred, cand, true_pairs(entities))
+    assert ev.f1 >= 0.99, ev
