@@ -508,6 +508,28 @@ def q_identity_join(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as an opaque binary payload
+    -> deterministic feature extraction via mapInPandas (decode stubbed;
+    schema/batching/null handling real — rows-only check)."""
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    out = multimodal.extract_media_features(media)
+    return out.select(
+        "media_id",
+        F.size(F.col("features")).alias("feature_dim"),
+        F.col("features")[0].isNotNull().alias("has_features"),
+    ).orderBy("media_id")
+
+
 def q_er_pipeline(spark, sf_dir):
     """The flagship three-stage ER pipeline over documents-as-pages."""
     docs = _t(spark, sf_dir, "documents")
@@ -550,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hundred_buckets": q_hundred_buckets,
         "identity_join": q_identity_join,
         "salted_pairs": q_salted_pairs,
+        "media_features": q_media_features,
         "greedy_link": q_greedy_link,
         "hac_refine": q_hac_refine,
         "phonetic_keys": q_phonetic_keys,
