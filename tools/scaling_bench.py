@@ -1,8 +1,10 @@
 """Two-cluster-size scaling evidence (north_rule).
 
 A real N vs 4N executor-count comparison is impossible in the sandbox,
-so the same job runs at two parallelism levels — ``local[8]`` and
-``local[32]`` — over the byte-identical synthetic pages table
+so the same job runs at two parallelism levels — ``--lo N`` vs
+``--hi 4N`` cores (default 8/32; use 2/8 on this VM, whose own CPU
+scaling ceiling at 8->32 procs is ~0.77 — see BASELINE.md) — over the
+byte-identical synthetic pages table
 (synth.synth_pages is deterministic in (seed, n_pages) at any
 parallelism). Each level runs in its own subprocess (fresh JVM) and
 reports wall-clock for the full ER pipeline (extract -> block -> pairs
@@ -10,10 +12,10 @@ reports wall-clock for the full ER pipeline (extract -> block -> pairs
 
 Scaling efficiency (per-core normalized, BASELINE.md):
 
-    eff = throughput_32 / (4 * throughput_8)
+    eff = throughput_hi / (4 * throughput_lo)
 
 Usage:
-    python tools/scaling_bench.py [--pages 40000]      # orchestrates both
+    python tools/scaling_bench.py --pages 1000000 --lo 2 --hi 8
     python tools/scaling_bench.py --worker --cores 8   # one level (internal)
 """
 
