@@ -31,6 +31,10 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 
+# components larger than this skip HAC (O(k^3) driver-free but per-group
+# sequential) and keep their CC label; C2 already re-thresholded them
+MAX_HAC_COMPONENT = 500
+
 
 def _hac_cut(ids: np.ndarray, d: np.ndarray, max_dist: float) -> np.ndarray:
     """Average-linkage agglomerative clustering over a dense distance
@@ -117,6 +121,13 @@ def hac_refine(
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+        if len(ids) > MAX_HAC_COMPONENT:
+            # agglomeration is O(k^3): a component near the oversize cap
+            # would stall an executor. Components this large have already
+            # passed the C2 re-threshold guard; keep them as-is (CC
+            # min-label) rather than refine.
+            root = ids.min()
+            return pd.DataFrame({"record_id": ids, "cluster_id": [root] * len(ids)})
         idx = {v: i for i, v in enumerate(ids)}
         n = len(ids)
         d = np.ones((n, n))

@@ -174,3 +174,23 @@ def test_blocked_pair_sample(spark):
     assert 1 <= len(got) <= 2
     for r in got:
         assert r["src"] < r["dst"]
+
+
+def test_hac_refine_skips_giant_components(spark, monkeypatch):
+    """Components above MAX_HAC_COMPONENT keep their CC min-label instead
+    of running the O(k^3) agglomeration."""
+    monkeypatch.setattr(refine, "MAX_HAC_COMPONENT", 3)
+    edges = _scored(
+        spark,
+        [("a", "b", 0.9), ("b", "c", 0.9), ("c", "d", 0.1), ("a", "d", 0.1)],
+    )
+    comp = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")],
+        "record_id string, cluster_id string",
+    )
+    got = {
+        (r["record_id"], r["cluster_id"])
+        for r in refine.hac_refine(edges, comp, 0.5).collect()
+    }
+    # 4 > limit 3: untouched min-label clustering
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
