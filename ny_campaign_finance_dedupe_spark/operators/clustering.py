@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame
 
 MAX_COMPONENT = 30_000  # dedupe/clustering.py:198
 MAX_CC_ITERS = 50
+# below this many edges the iterative loop's per-round fixed cost (two
+# shuffles + localCheckpoint + checksum job, ~O(seconds) each) dwarfs the
+# work: collect and union-find driver-side (the reference's own physical
+# plan, dedupe/clustering.py:101-152), then parallelize the result. At
+# cluster scale the loop path engages automatically.
+DRIVER_CC_MAX_EDGES = 200_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -76,17 +82,56 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: numpy union-find on collected edges."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    half = len(src)
+    for i in range(half):
+        ra, rb = find(inv[i]), find(inv[half + i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(ids))])
+    # min-id labeling: union-by-min above keeps the root at the smallest
+    # internal index, and ids from np.unique are sorted, so ids[root] is
+    # the component minimum (C8)
+    out = pd.DataFrame({"record_id": ids, "cluster_id": ids[roots]})
+    return e.sparkSession.createDataFrame(out, "record_id long, cluster_id long")
+
+
 def connected_components(
-    edges: DataFrame, max_iters: int = MAX_CC_ITERS
+    edges: DataFrame,
+    max_iters: int = MAX_CC_ITERS,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) [long ids] -> (record_id, cluster_id) for every id
     appearing in an edge; cluster_id = component min (C8).
 
-    Alternating large-star/small-star with lineage truncation per round.
+    Adaptive physical strategy: small edge sets union-find on the driver
+    (one collect instead of O(log n) shuffle rounds); large ones run the
+    alternating large-star/small-star loop with lineage truncation per
+    round. Both produce identical min-label output (pinned by test).
     """
     e = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    if driver_max_edges and e.count() <= driver_max_edges:
+        return _driver_union_find(e)
     prev = None
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -102,3 +102,26 @@ def test_split_oversize_components(spark):
     )
     got = comp_sets(split.select("record_id", "cluster_id"))
     assert frozenset({"a", "b", "c"}) in got and frozenset({"x", "y", "z"}) in got
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The adaptive small-graph fast path must equal the large-star/
+    small-star loop on the same random graph."""
+    import random
+
+    from ny_campaign_finance_dedupe_spark.operators import clustering as C
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    fast = {
+        (r["record_id"], r["cluster_id"])
+        for r in C.connected_components(df).collect()
+    }
+    slow = {
+        (r["record_id"], r["cluster_id"])
+        for r in C.connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == slow
