@@ -254,13 +254,54 @@ def latlong_grid(lat: Column | str, lon: Column | str) -> Column:
     return F.when(missing, F.array().cast("array<string>")).otherwise(F.array(key))
 
 
+SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_code(col: Column | str) -> Column:
+    """Soundex-style phonetic code, fully specified so any engine can
+    recompute it (the doubleMetaphone stand-in, predicates.py:476-479):
+
+      letters   = upper(s) with non-A-Z stripped
+      digits    = translate(letters, SOUNDEX_FROM, SOUNDEX_TO)
+      collapsed = adjacent-duplicate digits collapsed (fold, not regex
+                  backrefs — RE2 engines lack them)
+      code      = letters[0] + rpad(strip_zeros(collapsed[1:])[:3], 3, '0')
+
+    NULL for inputs with no letters. All native Catalyst (translate +
+    aggregate fold); deviation from true soundex: no H/W-transparency
+    rule — documented, mirrored exactly by the DuckDB oracle."""
+    c = _c(col)
+    letters = F.regexp_replace(F.upper(c), "[^A-Z]+", "")
+    digits = F.translate(letters, SOUNDEX_FROM, SOUNDEX_TO)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(digits), F.lit(1))),
+        lambda i: F.substring(digits, i, F.lit(1)),
+    )
+    collapsed = F.aggregate(
+        chars,
+        F.lit(""),
+        lambda acc, x: F.when(F.substring(acc, -1, 1) == x, acc).otherwise(
+            F.concat(acc, x)
+        ),
+    )
+    rest = F.regexp_replace(F.substring(collapsed, 2, 1000), "0", "")
+    code = F.concat(
+        F.substring(letters, 1, 1), F.rpad(F.substring(rest, 1, 3), 3, "0")
+    )
+    return F.when(c.isNull() | (F.length(letters) == 0), F.lit(None)).otherwise(
+        code
+    )
+
+
 def phonetic(col: Column | str) -> Column:
     """doubleMetaphone-analog (predicates.py:476-479): phonetic code of
-    the whole field. Spark-native ``soundex`` stands in for the
-    doublemetaphone C extension — same role (phonetic canopy), documented
-    deviation; JVM-side, no UDF."""
-    c = _c(col)
-    return _empty_if_null(c, F.array(F.soundex(c)))
+    the whole field (see ``soundex_code``) — same role as the reference's
+    phonetic canopy, engine-portable, no UDF."""
+    code = soundex_code(col)
+    return F.when(code.isNull(), F.array().cast("array<string>")).otherwise(
+        F.array(code)
+    )
 
 
 def phonetic_tokens(col: Column | str) -> Column:
@@ -269,7 +310,10 @@ def phonetic_tokens(col: Column | str) -> Column:
     return _empty_if_null(
         c,
         F.array_distinct(
-            F.transform(F.split(c, r"\s+"), lambda w: F.soundex(w))
+            F.filter(
+                F.transform(F.split(c, r"\s+"), lambda w: soundex_code(w)),
+                lambda k: k.isNotNull(),
+            )
         ),
     )
 
@@ -286,6 +330,33 @@ def common_set_elements(col: Column | str) -> Column:
     is a key (array-typed input)."""
     c = _c(col)
     return _empty_if_null(c, F.array_distinct(c.cast("array<string>")))
+
+
+def _sorted_element_ngrams(col: Column | str, n: int) -> Column:
+    """Contiguous n-grams of the SORTED set elements, space-joined —
+    ngramsTokens over sorted(field) (predicates.py:404-410)."""
+    c = _c(col)
+    s = F.array_sort(c.cast("array<string>"))
+    m = F.size(s) - (n - 1)
+    grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.concat_ws(" ", F.slice(s, i + 1, n)),
+        )
+    )
+    return _empty_if_null(c, F.array_distinct(grams))
+
+
+def common_two_elements(col: Column | str) -> Column:
+    """commonTwoElementsPredicate (predicates.py:497-499): adjacent pairs
+    of the sorted set."""
+    return _sorted_element_ngrams(col, 2)
+
+
+def common_three_elements(col: Column | str) -> Column:
+    """commonThreeElementsPredicate (predicates.py:502-504): adjacent
+    triples of the sorted set."""
+    return _sorted_element_ngrams(col, 3)
 
 
 def first_set_element(col: Column | str) -> Column:
@@ -336,6 +407,31 @@ def typo_variants(col: Column | str) -> Column:
     return _empty_if_null(
         c, F.array_distinct(F.concat(F.array(c), prefixes, skeleton, transpos))
     )
+
+
+def deletion_variants(col: Column | str, key_len: int = 12) -> Column:
+    """Edit-distance blocking keys (the LevenshteinCanopy/Search analog,
+    dedupe/index_predicates.py): the first ``key_len`` chars plus every
+    single-character deletion of them (SymSpell neighborhood). Two keys
+    within Levenshtein distance 1 ALWAYS share a variant (a deletion
+    covers delete/insert/substitute), so the banded equi-join +
+    exact-levenshtein filter has total recall at distance 1 — the
+    shared-nothing replacement for the reference's driver-side
+    Levenshtein ball tree. Linear fan-out: key_len+1 keys per record."""
+    c = F.substring(_c(col), 1, key_len)
+    n = F.length(c)
+    dels = F.when(n <= 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(c, 1, i - 1), c.substr(i + 1, F.lit(key_len))
+            ),
+        )
+    )
+    keys = F.array_distinct(F.concat(F.array(c), dels))
+    return F.when(
+        _c(col).isNull() | (n == 0), F.array().cast("array<string>")
+    ).otherwise(keys)
 
 
 def domain_key(url: Column | str) -> Column:

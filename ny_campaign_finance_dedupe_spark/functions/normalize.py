@@ -23,18 +23,37 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-# Longest-form-wins synonym groups, canonical form first
-# (reference: clean_donors.py:53-91 — street/st, avenue/ave, po box forms).
+# The reference's full 20-group address-abbreviation table, canonical
+# form first (clean_donors.py:57-78 address_words, verbatim).
 ABBREV_GROUPS: list[tuple[str, list[str]]] = [
     ("street", ["str", "st"]),
-    ("avenue", ["ave", "av"]),
+    ("avenue", ["ave"]),
+    ("drive", ["dr"]),
     ("road", ["rd"]),
-    ("department", ["dept"]),
-    ("international", ["intl"]),
-    ("corporation", ["corp"]),
-    ("company", ["co"]),
-    ("service", ["svc"]),
-    ("post office box", ["po box", "p o box", "pob"]),
+    ("suite", ["ste"]),
+    ("lane", ["ln"]),
+    ("boulevard", ["blvd"]),
+    ("heights", ["hgts"]),
+    ("highway", ["hwy"]),
+    ("turnpike", ["tpke"]),
+    ("terrace", ["terr"]),
+    ("parkway", ["pkwy"]),
+    ("place", ["plc", "pl"]),
+    ("court", ["ct"]),
+    ("route", ["rte"]),
+    ("circle", ["cir"]),
+    ("plaza", ["plz"]),
+    ("extension", ["ext"]),
+    ("square", ["sq"]),
+    ("post office box", ["po box", "p o box"]),
+]
+
+# N5 org-name expansion (clean_donors.py:102-111 name_cleaning):
+# most-specific-first so 'nyc' never half-matches as 'ny'+c.
+ORG_EXPANSIONS: list[tuple[str, str]] = [
+    ("nyc", "new york city"),
+    ("nys", "new york state"),
+    ("ny", "new york"),
 ]
 
 
@@ -53,18 +72,85 @@ def normalize_text(col: Column | str) -> Column:
     return F.nullif(c, F.lit(""))
 
 
+def _group_pattern(alts: list[str]) -> str:
+    return r"\b(?:" + "|".join(sorted(alts, key=len, reverse=True)) + r")\b"
+
+
 def canonicalize_abbrev(col: Column | str) -> Column:
-    """Map every synonym to its longest form (clean_donors.py:53-91).
+    """Map every synonym to its longest form (clean_donors.py:57-95).
 
     Chain of word-boundary regexp_replace — native, order-stable,
     longest-alternative-first within each group so 'p o box' wins over
-    'po'-prefix accidents.
-    """
+    'po'-prefix accidents. Mirrors the reference's guarded UPDATE
+    (``AND street not like '%canonical%'``): a field already containing
+    the canonical form is left untouched for that group. Apply to
+    ALREADY-LOWERCASED text (the reference cleans processed_donors,
+    which is lowercased at load, init_postgres_db.py:114-121).
+
+    Shape: ONE ``F.aggregate`` fold over a literal (pattern, canonical)
+    array — naively chaining 20 guarded ``when(contains).otherwise``
+    steps nests the input 3^20 times (each step references it thrice)
+    and OOMs the driver at plan build; the fold's lambda body is a
+    single shared tree, so the plan stays linear in the group count."""
     c = F.col(col) if isinstance(col, str) else col
-    for canon, alts in ABBREV_GROUPS:
-        pat = r"\b(?:" + "|".join(sorted(alts, key=len, reverse=True)) + r")\b"
-        c = F.regexp_replace(c, pat, canon)
+    groups = F.array(
+        *[
+            F.struct(
+                F.lit(_group_pattern(alts)).alias("pat"),
+                F.lit(canon).alias("canon"),
+            )
+            for canon, alts in ABBREV_GROUPS
+        ]
+    )
+    return F.aggregate(
+        groups,
+        c,
+        lambda acc, g: F.when(acc.contains(g["canon"]), acc).otherwise(
+            F.regexp_replace(acc, g["pat"], g["canon"])
+        ),
+    )
+
+
+def expand_org_names(col: Column | str) -> Column:
+    """N5 (clean_donors.py:102-111): nyc/nys/ny -> spelled-out forms,
+    word-boundary, most-specific-first, unconditional (the reference's
+    name_cleaning REPLACE has no canonical-form guard)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for abbr, full in ORG_EXPANSIONS:
+        c = F.regexp_replace(c, rf"\b{abbr}\b", full)
     return c
+
+
+def sql_canonicalize_ctes(
+    base: str, col: str = "t", prefix: str = "nrm"
+) -> tuple[str, str]:
+    """DuckDB twin of ``expand_org_names(canonicalize_abbrev(col))`` as a
+    LINEAR chain of CTEs (one ``SELECT * REPLACE`` per synonym group —
+    nesting the expression instead would grow 3^20). Returns
+    (cte_fragment, final_cte_name); splice the fragment into a WITH list
+    after ``base``."""
+    parts = []
+    prev = base
+    i = 0
+    for canon, alts in ABBREV_GROUPS:
+        pat = _group_pattern(alts)
+        name = f"{prefix}{i}"
+        parts.append(
+            f"{name} AS (SELECT * REPLACE ((CASE WHEN {col} LIKE '%{canon}%'"
+            f" THEN {col} ELSE regexp_replace({col}, '{pat}', '{canon}', 'g')"
+            f" END) AS {col}) FROM {prev})"
+        )
+        prev = name
+        i += 1
+    for abbr, full in ORG_EXPANSIONS:
+        name = f"{prefix}{i}"
+        parts.append(
+            f"{name} AS (SELECT * REPLACE (regexp_replace({col},"
+            f" '\\b{abbr}\\b', '{full}', 'g') AS {col}) FROM {prev})"
+        )
+        prev = name
+        i += 1
+    return ",\n".join(parts), prev
 
 
 def empty_to_null(col: Column | str) -> Column:

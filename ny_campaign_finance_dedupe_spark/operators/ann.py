@@ -59,10 +59,24 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _matrix(df: DataFrame, id_col: str, vec_col: str):
+# A broadcast build side bigger than this is a planning error, not a
+# bigger broadcast: 2M x 64-dim float64 is ~1 GiB on the driver. Callers
+# that can exceed it must use the distributed path (lsh/banded join).
+MAX_COLLECT_ROWS = 2_000_000
+
+
+def _matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLECT_ROWS):
     """Driver-side (ids, row-normalized float64 matrix) for the SMALL
     side of a similarity plan. The collected side must fit the driver —
-    same contract as any broadcast join build side."""
+    same contract as any broadcast join build side, ENFORCED: refuses to
+    collect more than ``max_rows`` (fail fast beats a driver OOM)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"_matrix: refusing to collect {n} rows to the driver "
+            f"(max {max_rows}); use the distributed plan (lsh_topk / "
+            f"bucketed cosine_neardup_pairs) for a side this large"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -98,12 +112,41 @@ def brute_force_topk(
     """Exact top-k by cosine: (query_id, neighbor_id, rank, cosine).
 
     Self-search convention: a vector is never its own neighbor.
-    Physical plan: the (small) normalized query matrix is a broadcast
-    variable; each corpus Arrow batch does ONE GEMM against it and emits
-    only its batch-local top-k rows per query; a global window rank
-    finishes. The corpus never shuffles; the exchange carries
-    O(n_queries x k x n_batches) rows, not n_q x n_c.
+    Physical plan (broadcast_queries=True): the (small) normalized query
+    matrix is a broadcast variable; each corpus Arrow batch does ONE GEMM
+    against it and emits only its batch-local top-k rows per query; a
+    global window rank finishes. The corpus never shuffles; the exchange
+    carries O(n_queries x k x n_batches) rows, not n_q x n_c.
+
+    broadcast_queries=False: fully-distributed exact plan — query x corpus
+    join + Arrow-batched cosine + window top-k. No driver collect at all;
+    use when the query side exceeds the broadcast contract.
     """
+    if not broadcast_queries:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
+        scored = (
+            q.crossJoin(c)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_batch_udf()(F.col("qv"), F.col("nv")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
+
     spark = corpus.sparkSession
     q_ids, q_mat = _matrix(queries, id_col, vec_col)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -128,14 +171,24 @@ def brute_force_topk(
             sims = cm @ qm.T  # (n_batch, n_q)
             nb = pdf[id_col].to_numpy()
             kk = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
-            qi = np.repeat(ids, kk)
-            ni = nb[top.T.ravel()]
-            cs = sims[top.T.ravel(), np.repeat(np.arange(len(ids)), kk)]
-            keep = qi != ni
-            yield pd.DataFrame(
-                {"query_id": qi[keep], "neighbor_id": ni[keep], "cosine": cs[keep]}
-            )
+            # batch-local prune must use the SAME total order as the
+            # global window — (cosine desc, neighbor_id asc) — or ties
+            # straddling the kk boundary make output depend on partition
+            # boundaries (determinism contract of scaling_bench).
+            frames = []
+            for qi_idx in range(sims.shape[1]):
+                order = np.lexsort((nb, -sims[:, qi_idx]))[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(ids[qi_idx], len(order)),
+                            "neighbor_id": nb[order],
+                            "cosine": sims[order, qi_idx],
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            yield out[out["query_id"] != out["neighbor_id"]]
 
     scored = corpus.select(id_col, vec_col).mapInPandas(gemm, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -191,6 +244,39 @@ def bucket_keys(
     return F.pandas_udf(batch, T.ArrayType(T.StringType()))(vec)
 
 
+def portable_bucket_keys(
+    vec: Column, dim: int, bands: int = 8, bits: int = 8
+) -> Column:
+    """Engine-portable variant of ``bucket_keys``: ±1 md5-derived planes
+    (functions/portable.plane_signs) applied to the integer-quantized
+    vector (q_j = floor(v_j*1000 + 0.5)), so every projection is an exact
+    int64 sum — reproducible by the DuckDB oracle regardless of
+    summation order. Same GEMM-per-Arrow-batch physical shape."""
+    from ..functions import portable as _p
+
+    signs = np.asarray(_p.plane_signs(dim, bands, bits), dtype=np.int64)
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            m = np.vstack([np.asarray(v, np.float64) for v in s])
+            q = np.floor(m * float(_p.QUANT) + 0.5).astype(np.int64)
+            proj = q @ signs.T  # (n, bands*bits), exact int64
+            bitm = (proj >= 0).astype(np.int64)
+            weights = np.tile(1 << np.arange(bits, dtype=np.int64), bands)
+            pats = (bitm * weights).reshape(len(m), bands, bits).sum(axis=2)
+            yield pd.Series(
+                [
+                    [f"b{b}:{int(row[b])}" for b in range(bands)]
+                    for row in pats
+                ]
+            )
+
+    return F.pandas_udf(batch, T.ArrayType(T.StringType()))(vec)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -201,16 +287,23 @@ def lsh_topk(
     bands: int = 8,
     bits: int = 12,
     seed: int = 11,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket keys, exact cosine
-    re-rank within candidates. Same output schema as brute_force_topk."""
+    re-rank within candidates. Same output schema as brute_force_topk.
+    ``portable=True`` swaps the gaussian-seeded planes for the md5/±1
+    integer-exact family (portable_bucket_keys) — the oracle-checkable
+    variant; identical plan."""
     def keyed(df, role):
+        kexpr = (
+            portable_bucket_keys(F.col(vec_col), dim, bands, bits)
+            if portable
+            else bucket_keys(F.col(vec_col), dim, bands, bits, seed)
+        )
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}v"),
-            F.explode(
-                bucket_keys(F.col(vec_col), dim, bands, bits, seed)
-            ).alias("bucket"),
+            F.explode(kexpr).alias("bucket"),
         )
 
     qk = keyed(queries, "query")
@@ -235,18 +328,80 @@ def lsh_topk(
     )
 
 
+def cosine_neardup_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    bands: int = 16,
+    bits: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Scale path for near-dup pairs: LSH-bucket candidate generation
+    (random-hyperplane bands, equi-join on bucket id — one shuffle, no
+    n^2) + exact Arrow-batched cosine filter. Approximate: a pair whose
+    sign patterns collide in no band is missed; at neardup thresholds
+    (cosine >= 0.9 => theta <= 26deg => per-band collision
+    (1-theta/pi)^8 ~ 0.28, miss ~ (1-0.28)^16 ~ 0.5%) recall is
+    margin-safe and tunable by (bands, bits)."""
+    if dim is None:
+        dim = int(
+            df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+        )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(bucket_keys(F.col(vec_col), dim, bands, bits, seed)).alias(
+            "bucket"
+        ),
+    )
+    l = keyed.select(
+        F.col("_id").alias("src"), F.col("_v").alias("va"), "bucket"
+    )
+    r = keyed.select(
+        F.col("_id").alias("dst"), F.col("_v").alias("vb"), "bucket"
+    )
+    return (
+        l.join(r, "bucket")
+        .where(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .select(
+            "src",
+            "dst",
+            cosine_batch_udf()(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# Above this row count the all-pairs GEMM's driver collect + broadcast is
+# the wrong plan (n^2 work and a fat build side): switch to the bucketed
+# LSH candidates + exact re-check. Mirrors connected_components' adaptive
+# driver/distributed split.
+NEARDUP_BROADCAST_MAX_ROWS = 100_000
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_broadcast_rows: int = NEARDUP_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (src < dst). Exact kernel: the
+    """All pairs with cosine >= threshold (src < dst).
+
+    Adaptive physical strategy: below ``max_broadcast_rows`` the
     normalized matrix is a broadcast variable and each Arrow batch does
     one GEMM against it, emitting only over-threshold pairs — the
-    exchange carries results, never the n^2 pair space. At scale, feed
-    candidates from ``bucket_keys`` instead; the output contract is
-    identical."""
+    exchange carries results, never the n^2 pair space. Above it the plan
+    switches to ``cosine_neardup_bucketed`` (LSH bands + exact cosine
+    re-check): fully distributed, no driver collect, recall margin-safe
+    at neardup thresholds. Same output contract either way."""
+    if df.count() > max_broadcast_rows:
+        return cosine_neardup_bucketed(
+            df, id_col, vec_col, threshold
+        ).select("src", "dst", "cosine")
     spark = df.sparkSession
     ids, mat = _matrix(df, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))

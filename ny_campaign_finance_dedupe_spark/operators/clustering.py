@@ -30,7 +30,7 @@ iterations — SURVEY.md §4):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 MAX_COMPONENT = 30_000  # dedupe/clustering.py:198
 MAX_CC_ITERS = 50
@@ -175,22 +175,24 @@ def cluster_edges(
             .localCheckpoint()
         )
         comp = connected_components(nedges)
+        comp = comp.join(
+            idmap.select(F.col("nid").alias("record_id"), "rid"), "record_id"
+        ).select(F.col("rid").alias("record_id"), "cluster_id")
+        # C8 in the RECORD domain: the CC labels are component-min *hashed*
+        # ids — an engine artifact; relabel to min record_id per component
+        # (min donor_id, campaign_finance_dedupe.py:105-110) so cluster
+        # ids are reproducible by any engine. One extra agg + join.
+        relabel = comp.groupBy("cluster_id").agg(
+            F.min("record_id").alias("_canon")
+        )
         comp = (
-            comp.join(idmap.select(F.col("nid").alias("record_id"), "rid"), "record_id")
-            .join(
-                idmap.select(
-                    F.col("nid").alias("cluster_id"), F.col("rid").alias("cluster_rid")
-                ),
-                "cluster_id",
-            )
-            .select(
-                F.col("rid").alias("record_id"),
-                F.col("cluster_rid").alias("cluster_id"),
-            )
+            comp.join(relabel, "cluster_id")
+            .select("record_id", F.col("_canon").alias("cluster_id"))
         )
     else:
         comp = connected_components(edges.select("src", "dst"))
-    conf = member_confidence(edges, comp)
+    # CC output: every kept edge is intra-component — skip peer scoping
+    conf = member_confidence(edges, None)
     return comp.join(conf, "record_id", "left").select(
         "record_id",
         "cluster_id",
@@ -198,17 +200,52 @@ def cluster_edges(
     )
 
 
-def member_confidence(edges: DataFrame, components: DataFrame) -> DataFrame:
+def member_confidence(
+    edges: DataFrame, components: DataFrame | None
+) -> DataFrame:
     """C4 (clustering.py:241-262): per record,
-    1 - sqrt(mean over cluster-peer edges of (1-score)^2) — a native agg
-    over the member->edge incidence, no per-cluster Python."""
-    inc = edges.select(
+    1 - sqrt(mean over SAME-CLUSTER peer edges of (1-score)^2) — a native
+    agg over the member->edge incidence, no per-cluster Python.
+
+    ``components`` scopes the peers: when a refinement pass (HAC / C2
+    re-threshold) splits a component, edges crossing the split no longer
+    count toward either endpoint's confidence. Pass ``None`` when the
+    edge set is already component-consistent (straight CC output, where
+    every >= threshold edge is intra-cluster by construction) to skip
+    the two scoping joins."""
+    if components is None:
+        intra = edges.select("src", "dst", "score")
+        inc = intra.select(
+            F.col("src").alias("record_id"), (1.0 - F.col("score")).alias("d")
+        ).union(intra.select(F.col("dst"), 1.0 - F.col("score")))
+        per = inc.groupBy("record_id").agg(
+            F.sqrt(F.avg(F.col("d") * F.col("d"))).alias("rmse")
+        )
+        return per.select(
+            "record_id", (1.0 - F.col("rmse")).alias("cluster_score")
+        )
+    intra = (
+        edges.join(
+            components.select(
+                F.col("record_id").alias("src"), F.col("cluster_id").alias("_cs")
+            ),
+            "src",
+        )
+        .join(
+            components.select(
+                F.col("record_id").alias("dst"), F.col("cluster_id").alias("_cd")
+            ),
+            "dst",
+        )
+        .where(F.col("_cs") == F.col("_cd"))
+        .select("src", "dst", "score")
+    )
+    inc = intra.select(
         F.col("src").alias("record_id"), (1.0 - F.col("score")).alias("d")
-    ).union(edges.select(F.col("dst"), 1.0 - F.col("score")))
+    ).union(intra.select(F.col("dst"), 1.0 - F.col("score")))
     per = inc.groupBy("record_id").agg(
         F.sqrt(F.avg(F.col("d") * F.col("d"))).alias("rmse")
     )
-    _ = components  # peers are exactly the edge endpoints at >= threshold
     return per.select("record_id", (1.0 - F.col("rmse")).alias("cluster_score"))
 
 
@@ -230,6 +267,59 @@ def add_singletons(
     return clustered.unionByName(singles)
 
 
+def carry_forward_cluster_ids(
+    prev_map: DataFrame, cur_map: DataFrame
+) -> DataFrame:
+    """Stable cluster ids across runs (post_processing/add_cluster_ids.py,
+    get_new_cluster_ids.py — the reference carries run-N ids into run-N+1
+    by joining through an anchor member record).
+
+    Generalization: each run-N+1 cluster adopts the run-N cluster id with
+    the LARGEST member overlap; when two new clusters contend for the
+    same previous id (a split), only the larger-overlap contender wins it
+    (ties broken by smaller new cluster id) and the loser keeps its own
+    new id; clusters with no overlapping members keep their new id. All
+    deterministic windows over one overlap aggregation — two shuffles.
+
+    Input/output: (record_id, cluster_id) maps.
+    """
+    ov = (
+        cur_map.select("record_id", "cluster_id")
+        .join(
+            prev_map.select(
+                "record_id", F.col("cluster_id").alias("prev_id")
+            ),
+            "record_id",
+        )
+        .groupBy("cluster_id", "prev_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w_cur = Window.partitionBy("cluster_id").orderBy(
+        F.desc("overlap"), F.asc("prev_id")
+    )
+    best_prev = (
+        ov.withColumn("_r", F.row_number().over(w_cur))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    # resolve contention: one winner per prev_id
+    w_prev = Window.partitionBy("prev_id").orderBy(
+        F.desc("overlap"), F.asc("cluster_id")
+    )
+    winners = (
+        best_prev.withColumn("_r", F.row_number().over(w_prev))
+        .where(F.col("_r") == 1)
+        .select("cluster_id", "prev_id")
+    )
+    return (
+        cur_map.join(winners, "cluster_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("prev_id", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+
+
 def split_oversize_components(
     scored_pairs: DataFrame,
     clustered: DataFrame,
@@ -247,14 +337,17 @@ def split_oversize_components(
         big = sizes.where(F.col("count") > max_component).select("cluster_id")
         if big.isEmpty():
             return out
+        # broadcast only the (tiny) oversize-cluster-id list; big_members
+        # can be max_component x n_big rows — a shuffled semi-join, never
+        # a broadcast build side
         big_members = out.join(F.broadcast(big), "cluster_id").select("record_id")
         bad_edges = (
             scored_pairs.where(F.col("score") >= threshold)
             .join(
-                F.broadcast(big_members.withColumnRenamed("record_id", "src")), "src"
+                big_members.withColumnRenamed("record_id", "src"), "src", "left_semi"
             )
             .join(
-                F.broadcast(big_members.withColumnRenamed("record_id", "dst")), "dst"
+                big_members.withColumnRenamed("record_id", "dst"), "dst", "left_semi"
             )
         )
         row = bad_edges.agg(F.min("score").alias("m")).collect()[0]

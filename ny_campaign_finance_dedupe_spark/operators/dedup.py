@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions import hashing, keygen
+from ..functions import hashing, keygen, portable
 
 
 def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
@@ -40,6 +40,14 @@ def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     return agg.select(
         F.explode("members").alias("record_id"), "cluster_id", "cluster_size"
     )
+
+
+def default_df_cap(n_docs: int) -> int:
+    """The canopy stop-word rule (canopy_index.py:22): a shingle occurring
+    in more than max(1000, 5% of docs) documents is boilerplate, not
+    signal — and its df^2 contribution to the shingle self-join is the
+    one unbounded term in the plan. Always pass a cap at scale."""
+    return max(1000, int(0.05 * n_docs))
 
 
 def ngram_jaccard_pairs(
@@ -62,6 +70,9 @@ def ngram_jaccard_pairs(
             F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("gram"),
         )
         .distinct()
+        # reused by df-profile (cap), per-doc counts, and BOTH join sides:
+        # without a persist the explode+distinct subtree evaluates 3-4x.
+        .persist()
     )
     if df_cap is not None:
         hot = (
@@ -155,6 +166,169 @@ def minhash_candidate_pairs(
         .join(sb, "dst")
         .select("src", "dst", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_len: int = 12,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs whose ``key_len``-char key prefixes are within
+    Levenshtein distance ``max_dist`` (src < dst, with the distance).
+
+    Plan: deletion-neighborhood equi-join (keygen.deletion_variants) for
+    candidates — recall is TOTAL at distance 1, so the oracle is the
+    plain all-pairs levenshtein predicate — then the exact native
+    ``levenshtein`` filter. The scale replacement for the reference's
+    LevenshteinCanopy/LevenshteinSearch index predicates."""
+    keyed = (
+        df.select(
+            F.col(id_col).alias("record_id"),
+            F.substring(F.col(text_col), 1, key_len).alias("k"),
+        )
+        .where(F.col("k").isNotNull() & (F.length("k") > 0))
+        .persist()  # reused by the variant explode and both hydrations
+    )
+    bm = keyed.select(
+        "record_id",
+        F.explode(keygen.deletion_variants(F.col("k"), key_len)).alias(
+            "block_key"
+        ),
+    )
+    cand = (
+        bm.alias("l")
+        .join(bm.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ka = keyed.select(F.col("record_id").alias("src"), F.col("k").alias("k_a"))
+    kb = keyed.select(F.col("record_id").alias("dst"), F.col("k").alias("k_b"))
+    return (
+        cand.join(ka, "src")
+        .join(kb, "dst")
+        .select(
+            "src", "dst", F.levenshtein(F.col("k_a"), F.col("k_b")).alias("dist")
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """``minhash_candidate_pairs`` with the engine-portable hash family
+    (functions/portable.py): identical plan shape (linear keygen, banded
+    equi-join, est-Jaccard filter), zero Python, and every value
+    recomputable by the DuckDB oracle — this is the variant the
+    correctness gate runs; the xxhash64+Arrow variant is the bench/scale
+    path (same operator contract, pinned equivalent by test)."""
+    sig = (
+        df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("t"))
+        .withColumn(
+            "sig",
+            portable.minhash_sig(
+                keygen.word_ngrams(F.col("t"), shingle_words), num_perm
+            ),
+        )
+        .where(F.col("sig").isNotNull())
+        .select("record_id", "sig")
+        .persist()
+    )
+    bm = sig.select(
+        "record_id",
+        F.explode(portable.minhash_band_keys(F.col("sig"), bands, rows)).alias(
+            "block_key"
+        ),
+    )
+    cand = (
+        bm.alias("l")
+        .join(bm.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    sa = sig.select(F.col("record_id").alias("src"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("record_id").alias("dst"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .select("src", "dst", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """``simhash_near_pairs`` over the 32-bit portable simhash. The
+    banded join + exact bit_count filter yields EXACTLY the set of pairs
+    within ``max_hamming`` (pigeonhole recall is total for
+    max_hamming <= bands-1), so the oracle is the all-pairs Hamming
+    predicate — banding is a physical detail the check need not mirror.
+
+    Simhash input is word-3-gram shingles, not unigram tokens: unigram
+    simhash is cross-document correlated (every page shares the
+    language's top tokens — see hashing.minhash_simhash_udf) and at 32
+    bits that correlation floods the pair space; shingles decorrelate."""
+    sh = (
+        df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("t"))
+        .withColumn(
+            "simhash", portable.simhash32(keygen.word_ngrams(F.col("t"), 3))
+        )
+        .where(F.col("simhash").isNotNull())
+        .select("record_id", "simhash")
+        .persist()
+    )
+    bm = sh.select(
+        "record_id",
+        F.explode(
+            portable.simhash_band_keys(F.col("simhash"), bands, bits=32)
+        ).alias("block_key"),
+    )
+    cand = (
+        bm.alias("l")
+        .join(bm.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(F.col("l.record_id").alias("src"), F.col("r.record_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    ha = sh.select(F.col("record_id").alias("src"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("record_id").alias("dst"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(ha, "src")
+        .join(hb, "dst")
+        .select(
+            "src", "dst", hashing.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -100,7 +100,10 @@ def greedy_one_to_one(
             .join(dominant.select("dst").distinct(), "dst", "left_anti")
             .localCheckpoint()
         )
-    else:
+    # convergence means *no edges remain* — matching that completes exactly
+    # on the final allowed iteration is success (the emptiness test at the
+    # top of the loop never runs again once max_iters is exhausted).
+    if not remaining.isEmpty():
         raise RuntimeError(f"greedy_one_to_one: no convergence in {max_iters}")
     if accepted is None:
         return scored.select("src", "dst", "score").limit(0)

@@ -46,11 +46,19 @@ def _decode_real(payload: bytes, mime: str) -> np.ndarray:
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic pseudo-features from payload bytes (sha256-seeded)."""
+    """Deterministic pseudo-features from payload bytes (sha256-seeded).
+
+    features[0] = byte length, features[1] = count of 0x20 bytes — plain
+    payload statistics any engine can recompute (the driver oracle checks
+    them); the remaining dims are hash-seeded noise standing in for the
+    real decoder's embedding."""
     h = hashlib.sha256(payload).digest()
     seed = int.from_bytes(h[:8], "big")
     rng = np.random.default_rng(seed)
-    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    feats = rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    feats[0] = np.float32(len(payload))
+    feats[1] = np.float32(payload.count(b" "))
+    return feats
 
 
 def extract_media_features(

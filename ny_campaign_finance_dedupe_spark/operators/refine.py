@@ -36,61 +36,76 @@ from pyspark.sql import DataFrame, Window
 MAX_HAC_COMPONENT = 500
 
 
-def _hac_cut(ids: np.ndarray, d: np.ndarray, max_dist: float) -> np.ndarray:
-    """Average-linkage agglomerative clustering over a dense distance
-    matrix, cut at ``max_dist``; returns a label per id (index into ids).
+def _hac_cut(
+    ids: np.ndarray, d: np.ndarray, max_dist: float, linkage: str = "average"
+) -> np.ndarray:
+    """Agglomerative clustering over a dense distance matrix, cut at
+    ``max_dist``; returns a label per id (index into ids).
 
-    Missing pairs (never co-blocked / below threshold) carry distance 1.0
-    — the same 'unknown = far' convention as the reference's condensed
-    matrix fill (clustering.py:155-193).
+    ``linkage``: 'average' (Lance-Williams size-weighted update — the
+    reference's fastcluster stand-in) or 'single' (min update; the cut
+    then equals connected components at distance <= max_dist, which is
+    what makes the hac_refine driver query oracle-checkable).
+
+    Vectorized: the working distance matrix stays a dense (n, n) float64
+    array; each merge is one argmin over the masked matrix + one row/col
+    update — O(n^2) per merge, O(n^3) worst-case total but with numpy
+    constants (the pure-Python dict version measured ~40x slower at
+    n=500). Missing pairs (never co-blocked / below threshold) carry
+    distance 1.0 — the same 'unknown = far' convention as the reference's
+    condensed matrix fill (clustering.py:155-193).
     """
     n = len(ids)
-    active = list(range(n))
-    sizes = {i: 1 for i in active}
-    labels = {i: [i] for i in active}
-    dist = {(i, j): d[i, j] for i in range(n) for j in range(i + 1, n)}
-    while len(active) > 1:
-        best = None
-        bd = None
-        for ai in range(len(active)):
-            for bi in range(ai + 1, len(active)):
-                i, j = active[ai], active[bi]
-                dd = dist[(min(i, j), max(i, j))]
-                if bd is None or dd < bd:
-                    bd = dd
-                    best = (i, j)
-        if best is None or bd > max_dist:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    work = d.astype(np.float64).copy()
+    np.fill_diagonal(work, np.inf)
+    active = np.ones(n, dtype=bool)
+    sizes = np.ones(n, dtype=np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(n - 1):
+        sub = np.where(active)[0]
+        if len(sub) < 2:
             break
-        i, j = best
-        # average linkage update into i
-        for k in active:
-            if k in (i, j):
-                continue
-            dik = dist[(min(i, k), max(i, k))]
-            djk = dist[(min(j, k), max(j, k))]
-            dist[(min(i, k), max(i, k))] = (
-                sizes[i] * dik + sizes[j] * djk
-            ) / (sizes[i] + sizes[j])
-        labels[i].extend(labels[j])
+        w = work[np.ix_(sub, sub)]
+        flat = np.argmin(w)
+        ai, bi = np.unravel_index(flat, w.shape)
+        bd = w[ai, bi]
+        if not np.isfinite(bd) or bd > max_dist:
+            break
+        i, j = int(sub[min(ai, bi)]), int(sub[max(ai, bi)])
+        if linkage == "single":
+            newrow = np.minimum(work[i], work[j])
+        else:  # average (Lance-Williams, size-weighted)
+            newrow = (sizes[i] * work[i] + sizes[j] * work[j]) / (
+                sizes[i] + sizes[j]
+            )
+        work[i, :] = newrow
+        work[:, i] = newrow
+        work[i, i] = np.inf
+        work[j, :] = np.inf
+        work[:, j] = np.inf
         sizes[i] += sizes[j]
-        active.remove(j)
-        del labels[j], sizes[j]
-    out = np.zeros(n, dtype=np.int64)
-    for root, members in labels.items():
-        for m in members:
-            out[m] = root
-    return out
+        active[j] = False
+        labels[labels == j] = i
+    return labels
 
 
 def hac_refine(
     scored_edges: DataFrame,
     components: DataFrame,
     threshold: float = 0.5,
+    linkage: str = "average",
 ) -> DataFrame:
     """C3: re-cluster each CC component hierarchically, cutting at
     (1 - threshold). Input: scored_edges(src, dst, score),
     components(record_id, cluster_id). Output: (record_id, cluster_id)
     with cluster_id = min member id of the refined subcluster.
+
+    ``linkage='single'`` makes the cut equal to connected components of
+    the >= threshold subgraph (exactly — the property the driver oracle
+    checks); 'average' is the reference-shaped default, pinned by the
+    ported-fixture pytest instead.
     """
     comp_edges = (
         scored_edges.join(
@@ -135,7 +150,7 @@ def hac_refine(
         for s, t, sc in zip(pdf["src"], pdf["dst"], pdf["score"]):
             i, j = idx[s], idx[t]
             d[i, j] = d[j, i] = 1.0 - float(sc)
-        lab = _hac_cut(ids, d, max_dist)
+        lab = _hac_cut(ids, d, max_dist, linkage)
         roots: dict[int, object] = {}
         for i, r in enumerate(lab):
             cur = roots.get(r)

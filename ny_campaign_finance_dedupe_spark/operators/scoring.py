@@ -65,9 +65,15 @@ def feature_columns(text_a: Column, text_b: Column) -> dict[str, Column]:
     # Guard the O(len^2) comparator behind the cheap length-ratio test —
     # the compound-predicate trick applied to scoring: wildly different
     # lengths can't be matches, so skip the expensive distance (CASE
-    # short-circuits per row inside codegen).
+    # short-circuits per row inside codegen). The gate tests the PREFIX
+    # lengths (the strings levenshtein actually sees): two documents with
+    # identical 120-char prefixes but 1:3 full lengths are still
+    # edit-similar on the compared field and must not be zeroed.
+    lnp = F.least(F.length(pa), F.length(pb)) / F.greatest(
+        F.length(pa), F.length(pb), F.lit(1)
+    )
     lev = F.when(
-        ln < 0.4, F.lit(0.0)
+        lnp < 0.4, F.lit(0.0)
     ).otherwise(
         1.0
         - F.levenshtein(pa, pb)
@@ -167,7 +173,9 @@ VARIABLE_TYPES = ("String", "Text", "Exact", "Price", "LatLong", "Set",
                   "Categorical", "Exists")
 
 
-def variable_features(spec: list[dict]) -> dict[str, Column]:
+def variable_features(
+    spec: list[dict], idf: dict[str, float] | None = None
+) -> dict[str, Column]:
     """Compile the reference's declarative variable definition list
     (campaign_finance_dedupe.py:172-178; registry dedupe/variables/*) to
     named Catalyst feature expressions over hydrated pair columns
@@ -202,7 +210,14 @@ def variable_features(spec: list[dict]) -> dict[str, Column]:
         f = var["field"]
         a, b = F.col(f"{f}_a"), F.col(f"{f}_b")
         present = a.isNotNull() & b.isNotNull()
-        if t in ("String", "Text"):
+        if t == "Text" and idf is not None:
+            # the real Text comparator: corpus-IDF-weighted cosine
+            # (variables/string.py:78-93); pass idf=compute_idf(corpus)
+            import math
+
+            default = max(idf.values()) if idf else math.log(2.0) + 1.0
+            expr = tfidf_cosine_udf(idf, default)(a, b)
+        elif t in ("String", "Text"):
             cols = feature_columns(a, b)
             expr = (cols["f_cosine"] + cols["f_lev"]) / 2.0
         elif t == "Exact":
@@ -253,9 +268,76 @@ def variable_features(spec: list[dict]) -> dict[str, Column]:
     return out
 
 
-def with_variable_features(pairs: DataFrame, spec: list[dict]) -> DataFrame:
-    cols = variable_features(spec)
+def with_variable_features(
+    pairs: DataFrame, spec: list[dict], idf: dict[str, float] | None = None
+) -> DataFrame:
+    cols = variable_features(spec, idf)
     return pairs.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
+def compute_idf(
+    df: DataFrame,
+    text_col: str,
+    min_df: int = 1,
+    max_vocab: int = 1 << 20,
+) -> dict[str, float]:
+    """Corpus IDF table for the Text comparator (the reference's
+    TfidfTextSearchPredicate / variables/string.py:78-93 weighting,
+    rebuilt corpus-distributed): one explode + groupBy over distinct
+    tokens, top ``max_vocab`` by document frequency collected to the
+    driver (the broadcast build side — vocab is capped, so the collect
+    is bounded regardless of corpus size). idf = ln((1+N)/(1+df)) + 1
+    (smoothed, sklearn-style). Tokens outside the vocab score
+    ln((1+N)/1) + 1 at lookup (max rarity)."""
+    n = df.count()
+    rows = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), r"\s+"))
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .count()
+        .where(F.col("count") >= min_df)
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(max_vocab)
+        .collect()
+    )
+    import math
+
+    return {
+        r["tok"]: math.log((1.0 + n) / (1.0 + r["count"])) + 1.0 for r in rows
+    }
+
+
+def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
+    """Arrow-batched pandas UDF: IDF-weighted token-set cosine between
+    two text columns — the real Text comparator (TF-IDF cosine), vs the
+    unweighted token-set stand-in. The idf dict ships once per executor
+    as a broadcast-style closure constant."""
+
+    def one(a: str, b: str) -> float:
+        if not a or not b:
+            return 0.0
+        sa = set(a.split())
+        sb = set(b.split())
+        if not sa or not sb:
+            return 0.0
+        get = idf.get
+        num = sum(get(t, default_idf) ** 2 for t in sa & sb)
+        na = sum(get(t, default_idf) ** 2 for t in sa)
+        nb = sum(get(t, default_idf) ** 2 for t in sb)
+        return num / ((na * nb) ** 0.5)
+
+    def batch(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(
+                [one(x, y) for x, y in zip(a.fillna(""), b.fillna(""))],
+                dtype="float64",
+            )
+
+    return F.pandas_udf(batch, T.DoubleType())
 
 
 def jaro_winkler_udf():

@@ -43,6 +43,12 @@ class PipelineConfig:
     minhash_rows: int = 8
     shingle_words: int = 3
     simhash_bands: int = 4
+    # engine-portable hash family (functions/portable.py): md5-derived
+    # minhash/simhash, zero-UDF Catalyst expressions, every signature
+    # recomputable by the DuckDB oracle. Slower constants than the
+    # xxhash64+Arrow fast path — the correctness-gate configuration, not
+    # the bench one. Use 16 perms / 8x2 banding with it.
+    portable_hashing: bool = False
     max_block_size: int = 100
     # candidate generation strategy: "join" (plain self-join + AQE),
     # "salted" (hot-key bucket grid, pairs.salted_candidate_pairs), or
@@ -92,7 +98,12 @@ class DedupePipeline:
                 F.when(F.col("text").isNull(), F.col("html"))
             ),
         )
-        ntext = normalize.normalize_text(normalize.canonicalize_abbrev(txt))
+        # lowercase/punct-strip FIRST (the reference cleans processed_
+        # donors, already lowercased at load), THEN the guarded 20-group
+        # abbrev canonicalization + org-name expansion (N4 + N5)
+        ntext = normalize.expand_org_names(
+            normalize.canonicalize_abbrev(normalize.normalize_text(txt))
+        )
         return df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
 
     def signatures(self, extracted: DataFrame) -> DataFrame:
@@ -105,6 +116,14 @@ class DedupePipeline:
         """
         cfg = self.cfg
         shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
+        if cfg.portable_hashing:
+            from ..functions import portable
+
+            return extracted.select(
+                "*",
+                portable.minhash_sig(shingles, cfg.minhash_perms).alias("sig"),
+                portable.simhash32(shingles).alias("simhash"),
+            )
         fused = hashing.minhash_simhash_udf(cfg.minhash_perms)(
             hashing.shingle_hashes(shingles)
         )
@@ -114,17 +133,28 @@ class DedupePipeline:
 
     def predicates(self) -> dict:
         cfg = self.cfg
+        if cfg.portable_hashing:
+            from ..functions import portable
+
+            mh = portable.minhash_band_keys(
+                F.col("sig"), cfg.minhash_bands, cfg.minhash_rows
+            )
+            sh = portable.simhash_band_keys(
+                F.col("simhash"), bands=cfg.simhash_bands, bits=32
+            )
+        else:
+            mh = hashing.minhash_band_keys(
+                F.col("sig"), bands=cfg.minhash_bands, rows=cfg.minhash_rows
+            )
+            sh = hashing.simhash_band_keys(
+                F.col("simhash"), bands=cfg.simhash_bands
+            )
         return {
             "exact": F.when(
                 F.col("ntext").isNull(), F.array().cast("array<string>")
             ).otherwise(F.array(F.sha2(F.col("ntext"), 256))),
-            "mh": hashing.minhash_band_keys(
-                F.col("sig"), bands=cfg.minhash_bands, rows=cfg.minhash_rows
-            ),
-            "dom_sh": keygen.compound(
-                keygen.domain_key(F.col("url")),
-                hashing.simhash_band_keys(F.col("simhash"), bands=cfg.simhash_bands),
-            ),
+            "mh": mh,
+            "dom_sh": keygen.compound(keygen.domain_key(F.col("url")), sh),
         }
 
     def block(self, extracted: DataFrame) -> DataFrame:

@@ -27,14 +27,23 @@ def biggest_clusters(entity_map: DataFrame, n: int = 10) -> DataFrame:
 
 def run_stats(entity_map: DataFrame) -> DataFrame:
     """A5: MAX/AVG cluster size, cluster count, record count, ratio
-    (campaign_finance_dedupe.py:443-471)."""
+    (campaign_finance_dedupe.py:443-471).
+
+    avg/ratio are spelled as ONE double division of two exact integer
+    aggregates (not F.avg) so the result is bit-identical across engines
+    — incremental-mean implementations differ in the last ulp.
+    """
     h = cluster_size_histogram(entity_map)
     return h.agg(
         F.max("cluster_size").alias("biggest_cluster_size"),
-        F.avg("cluster_size").alias("avg_cluster_size"),
+        (F.sum("cluster_size").cast("double") / F.count("*").cast("double")).alias(
+            "avg_cluster_size"
+        ),
         F.count("*").alias("total_clusters"),
         F.sum("cluster_size").alias("total_records"),
-        (F.count("*") / F.sum("cluster_size")).alias("cluster_record_ratio"),
+        (F.count("*").cast("double") / F.sum("cluster_size").cast("double")).alias(
+            "cluster_record_ratio"
+        ),
     )
 
 

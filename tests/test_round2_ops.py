@@ -1,0 +1,227 @@
+"""Round-2 operators: ported reference clustering fixtures
+(dedupe/tests/test_dedupe.py:100-231), C4 peer scoping, carry-forward,
+set-element predicates, edit-distance blocking, TF-IDF text comparator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ny_campaign_finance_dedupe_spark.functions import keygen
+from ny_campaign_finance_dedupe_spark.operators import (
+    clustering,
+    dedup,
+    linkage,
+    refine,
+    scoring,
+)
+
+
+def _clusters(rows):
+    """(record_id, cluster_id) rows -> set of frozenset memberships>1."""
+    by = {}
+    for r in rows:
+        by.setdefault(r["cluster_id"], set()).add(r["record_id"])
+    return {frozenset(v) for v in by.values() if len(v) > 1}
+
+
+# --- ported reference fixtures ---------------------------------------------
+
+STAR_DUPES = [
+    (1, 2, 0.86), (1, 3, 0.72), (1, 4, 0.2), (1, 5, 0.6), (2, 3, 0.86),
+    (2, 4, 0.2), (2, 5, 0.72), (3, 4, 0.3), (3, 5, 0.5), (4, 5, 0.72),
+    (10, 11, 0.9),
+]
+
+BIPARTITE_DUPES = [
+    (1, 5, 0.1), (1, 6, 0.72), (1, 7, 0.2), (1, 8, 0.6), (2, 5, 0.2),
+    (2, 6, 0.2), (2, 7, 0.72), (2, 8, 0.3), (3, 5, 0.24), (3, 6, 0.72),
+    (3, 7, 0.24), (3, 8, 0.65), (4, 5, 0.63), (4, 6, 0.96), (4, 7, 0.23),
+    (5, 8, 0.24),
+]
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, score double")
+
+
+def test_hac_reference_fixture(spark):
+    """dedupe/tests/test_dedupe.py:163-190 (test_hierarchical): the star
+    network cut at 0.5 gives {1,2,3} {4,5} {10,11}; at 0 everything in a
+    component merges; at 1 nothing does."""
+    edges = _edges(spark, STAR_DUPES)
+    comp = clustering.connected_components(edges.select("src", "dst"))
+    for thr, expected in [
+        (0.5, {frozenset({1, 2, 3}), frozenset({4, 5}), frozenset({10, 11})}),
+        (0.0, {frozenset({1, 2, 3, 4, 5}), frozenset({10, 11})}),
+        (1.0, set()),
+    ]:
+        out = refine.hac_refine(edges, comp, threshold=thr).collect()
+        assert _clusters(out) == expected, thr
+
+
+def test_hac_single_linkage_equals_cc(spark):
+    """Single linkage cut at threshold == CC of the >=threshold subgraph
+    (the property the hac_refine driver oracle relies on)."""
+    edges = _edges(spark, STAR_DUPES)
+    comp = clustering.connected_components(edges.select("src", "dst"))
+    out = refine.hac_refine(
+        edges, comp, threshold=0.7, linkage="single"
+    ).collect()
+    strong = edges.where(F.col("score") >= 0.7)
+    cc = clustering.connected_components(strong.select("src", "dst"))
+    expect = _clusters(cc.collect())
+    assert _clusters(out) == expect
+    # {1,2,3,5} via 0.72 chain; {4,5}? 4-5 is 0.72 -> all of 1,2,3,4,5
+    assert frozenset({1, 2, 3, 4, 5}) in _clusters(out)
+
+
+def test_greedy_matching_reference_fixture(spark):
+    """dedupe/tests/test_dedupe.py:196-206 (test_greedy_matching)."""
+    scored = _edges(spark, BIPARTITE_DUPES)
+    got = {
+        (r["src"], r["dst"])
+        for r in linkage.greedy_one_to_one(scored, threshold=0.0).collect()
+    }
+    assert got == {(4, 6), (2, 7), (3, 8), (1, 5)}
+
+
+def test_gazetteer_reference_fixture(spark):
+    """dedupe/tests/test_dedupe.py:208-231 (test_gazette_matching)."""
+    scored = _edges(spark, BIPARTITE_DUPES)
+    out = linkage.gazetteer_topk(scored, n_matches=2, threshold=0.0).collect()
+    got = {(r["src"], r["dst"], r["rank"]) for r in out}
+    assert got == {
+        (1, 6, 1), (1, 8, 2), (2, 7, 1), (2, 8, 2), (3, 6, 1), (3, 8, 2),
+        (4, 6, 1), (4, 5, 2), (5, 8, 1),
+    }
+
+
+# --- C4 peer scoping --------------------------------------------------------
+
+def test_member_confidence_respects_components(spark):
+    """When a refinement splits a component, cross-split edges stop
+    counting toward confidence (VERDICT r01 C4)."""
+    edges = _edges(spark, [(1, 2, 0.9), (2, 3, 0.6), (3, 4, 0.9)])
+    split = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "record_id long, cluster_id long"
+    )
+    scoped = {
+        r["record_id"]: r["cluster_score"]
+        for r in clustering.member_confidence(edges, split).collect()
+    }
+    # node 2's only same-cluster peer edge is (1,2,0.9): 1-sqrt(0.01)=0.9
+    assert scoped[2] == pytest.approx(0.9)
+    unscoped = {
+        r["record_id"]: r["cluster_score"]
+        for r in clustering.member_confidence(edges, None).collect()
+    }
+    # unscoped, node 2 also averages the 0.6 cross edge -> lower
+    assert unscoped[2] < scoped[2]
+
+
+# --- carry-forward ----------------------------------------------------------
+
+def test_carry_forward_cluster_ids(spark):
+    prev = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200)],
+        "record_id long, cluster_id long",
+    )
+    # run N+1 splits prev-100 into {1,2} and {3}; {4,5} stable; 6 is new
+    cur = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4), (6, 6)],
+        "record_id long, cluster_id long",
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
+    }
+    # larger fragment {1,2} wins id 100; loser {3} keeps its new id
+    assert out[1] == out[2] == 100
+    assert out[3] == 3
+    assert out[4] == out[5] == 200
+    assert out[6] == 6
+
+
+# --- set-element predicates -------------------------------------------------
+
+def test_common_two_three_elements(spark):
+    df = spark.createDataFrame([(["c", "a", "b", "d"],)], "v array<string>")
+    two = df.select(keygen.common_two_elements("v").alias("k")).collect()[0]["k"]
+    assert two == ["a b", "b c", "c d"]
+    three = df.select(keygen.common_three_elements("v").alias("k")).collect()[0]["k"]
+    assert three == ["a b c", "b c d"]
+    # singleton set -> no 2-grams
+    one = spark.createDataFrame([(["x"],)], "v array<string>")
+    assert one.select(keygen.common_two_elements("v").alias("k")).collect()[0]["k"] == []
+
+
+# --- edit-distance blocking -------------------------------------------------
+
+def test_edit_distance_pairs_total_recall(spark):
+    rows = [
+        (1, "acme corporation"),      # vs 2: substitution at pos 3
+        (2, "acne corporation"),
+        (3, "acme corporatio"),       # same 12-char prefix as 1
+        (4, "zzme corporation"),      # distance 2 from 1 in prefix
+        (5, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["src"], r["dst"])
+        for r in dedup.edit_distance_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_deletion_variants_cover_distance_one(spark):
+    df = spark.createDataFrame([("abcd",), ("abxd",)], "v string")
+    ks = [
+        set(r["k"])
+        for r in df.select(keygen.deletion_variants("v", 12).alias("k")).collect()
+    ]
+    assert ks[0] & ks[1]  # substitution still shares a deletion variant
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark):
+    """Skew guard (VERDICT r01 #4): one boilerplate trigram shared by
+    every doc must not produce df^2 join rows — the cap stop-words it."""
+    rows = [(i, f"common hot gram unique{i} tail{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.1, df_cap=10
+    )
+    assert capped.count() == 0
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.1, df_cap=None
+    )
+    assert uncapped.count() == 300 * 299 // 2  # the blow-up the cap stops
+
+
+# --- TF-IDF text comparator -------------------------------------------------
+
+def test_tfidf_beats_token_set_cosine(spark):
+    # corpus: 'the' and 'of' are ubiquitous; rare terms discriminate
+    corpus = spark.createDataFrame(
+        [(i, f"the of filler{i} words{i}") for i in range(40)]
+        + [(100, "the of alpha"), (101, "the of beta"),
+           (102, "uniqueterm anotherrare x"), (103, "uniqueterm anotherrare y")],
+        "doc_id long, text string",
+    )
+    idf = scoring.compute_idf(corpus, "text")
+    pairs = spark.createDataFrame(
+        [("the of alpha", "the of beta"),
+         ("uniqueterm anotherrare x", "uniqueterm anotherrare y")],
+        "text_a string, text_b string",
+    )
+    spec = [{"field": "text", "type": "Text"}]
+    tf = scoring.with_variable_features(pairs, spec, idf=idf).collect()
+    plain = scoring.with_variable_features(pairs, spec).collect()
+    tf_common, tf_rare = tf[0]["text"], tf[1]["text"]
+    pl_common, pl_rare = plain[0]["text"], plain[1]["text"]
+    # stopword-only overlap: tf-idf discounts it far below the rare pair
+    assert tf_rare > tf_common
+    assert tf_rare - tf_common > (pl_rare - pl_common)
+    assert tf_common < 0.35  # 'the of' overlap is nearly worthless
