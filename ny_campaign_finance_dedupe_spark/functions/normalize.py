@@ -111,6 +111,68 @@ def canonicalize_abbrev(col: Column | str) -> Column:
     )
 
 
+def canonicalize_udf():
+    """Arrow-batched UDF form of
+    ``expand_org_names(canonicalize_abbrev(x))`` — THE form for
+    dataframe pipelines.
+
+    Why a UDF when the Catalyst fold exists: the 23-step guarded chain
+    is optimizer-toxic in every native shape. As one Column fold it is
+    a large expression that projection-collapse replicates into every
+    downstream use; as a withColumn chain, Catalyst's CollapseProject
+    spends MINUTES single-threaded deciding whether to merge the
+    projects (measured 345 s of optimizer time on a 3k-page drive,
+    jstack-confirmed in CollapseProject.mergeProjectExpressions). A
+    pandas UDF is opaque: CollapseProject refuses to merge through it,
+    the plan tree stays tiny, and the per-row work is ~23 precompiled
+    re.sub calls behind a single combined-pattern gate. Pure stdlib
+    `re` with re.ASCII (ntext is ASCII after normalize_text — Java's
+    ASCII-only \\w already stripped anything else), so output is
+    byte-identical to the Catalyst fold and the DuckDB CTE chain —
+    pinned by test_canonicalize_udf_matches_fold."""
+    import re
+
+    gate = re.compile(any_abbrev_pattern(), re.ASCII)
+    groups = [
+        (canon, re.compile(_group_pattern(alts), re.ASCII))
+        for canon, alts in ABBREV_GROUPS
+    ]
+    orgs = [
+        (re.compile(rf"\b{abbr}\b", re.ASCII), full)
+        for abbr, full in ORG_EXPANSIONS
+    ]
+
+    def one(s):
+        if s is None or not gate.search(s):
+            return s
+        for canon, pat in groups:
+            if canon in s:
+                continue
+            s = pat.sub(canon, s)
+        for pat, full in orgs:
+            s = pat.sub(full, s)
+        return s
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(one)
+
+    return F.pandas_udf(batch, "string")
+
+
+def any_abbrev_pattern() -> str:
+    """One combined word-boundary alternation over every abbreviation the
+    canonicalization fold could touch — a cheap single-regex gate: a page
+    matching nothing is untouched by the fold (each group replace and
+    each expansion is identity), so gating is semantics-preserving and
+    skips ~23 interpreted regex passes on the (typical) clean page."""
+    alts: list[str] = []
+    for _, group_alts in ABBREV_GROUPS:
+        alts.extend(group_alts)
+    alts.extend(abbr for abbr, _ in ORG_EXPANSIONS)
+    return r"\b(?:" + "|".join(sorted(alts, key=len, reverse=True)) + r")\b"
+
+
 def expand_org_names(col: Column | str) -> Column:
     """N5 (clean_donors.py:102-111): nyc/nys/ny -> spelled-out forms,
     word-boundary, most-specific-first, unconditional (the reference's

@@ -36,8 +36,16 @@ def build_blocking_map(
 
     Keys are prefixed ``<predicate_name>|`` (= the reference's ':index'
     suffix, blocking.py:96-99) so two predicates emitting the same string
-    stay distinct blocks. Output is distinct per (key, id): a record may
-    emit the same key once only, or the self-join would duplicate pairs.
+    stay distinct blocks.
+
+    INVARIANT (no shuffle spent re-enforcing it): each predicate's key
+    array must be per-record distinct — every functions/keygen generator
+    is (``array_distinct`` / single-key construction), and the name
+    prefix makes cross-predicate collisions impossible, so (key, id)
+    rows are unique BY CONSTRUCTION. A dropDuplicates here would be a
+    full shuffle of the blocking map on every run for nothing; custom
+    predicates that can repeat keys must array_distinct themselves
+    (pinned by test_blocking_map_unique_keys).
     """
     def _prefixer(name: str):
         # NB: a single-arg lambda is required — pyspark passes (element,
@@ -49,11 +57,10 @@ def build_blocking_map(
         F.transform(expr, _prefixer(name)).alias(name)
         for name, expr in predicates.items()
     ]
-    bm = records.select(
+    return records.select(
         F.col(id_col).alias("record_id"),
         F.explode(F.flatten(F.array(*arrays))).alias("block_key"),
     ).select("block_key", "record_id")
-    return bm.dropDuplicates(["block_key", "record_id"])
 
 
 def block_size_profile(blocking_map: DataFrame) -> DataFrame:

@@ -6,12 +6,15 @@ Arrow-batched ``mapInPandas`` passes so each executor processes whole
 record batches and the binary bytes never round-trip through Python row
 objects.
 
-The decode kernels themselves are STUBS in this environment (no
-PIL/ffmpeg in the container): ``deterministic_fake_features`` derives a
-fixed-dim pseudo-embedding from the payload bytes (xxhash-seeded, stable
-across executors) so the Spark-side plumbing — schema, batch shape,
-partitioning, null handling — is real and tested; swap ``_decode_real``
-in when codecs exist.
+Decoders: uncompressed formats are decoded FOR REAL in pure Python —
+24-bit BMP and binary PNM via struct/numpy, 16-bit-PCM WAV via stdlib
+``wave`` — feeding real image stats (dims, channel means, gray
+histogram) and audio stats (rms, zero-crossing rate, amplitude
+histogram); nearest-neighbor resize and WAV frame-windowing are real
+numpy ops. Compressed codecs (jpeg/png/mp3/h264) have no pure-Python
+path in this container and raise NotImplementedError explicitly;
+``use_fake=True`` (default) keeps the deterministic payload-stat
+pseudo-features for oracle-checkable plumbing tests.
 """
 
 from __future__ import annotations
@@ -38,10 +41,118 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB. Pure stdlib
+    (struct) — no codec dependency; rows are 4-byte padded, bottom-up."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    img = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (h, w, 3|1) uint8. Pure parsing."""
+    import re
+
+    m = re.match(
+        rb"(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", payload
+    )
+    if not m:
+        raise ValueError("not a binary PPM/PGM payload")
+    kind, w, h, maxv = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxv > 255:
+        raise NotImplementedError("16-bit PNM")
+    ch = 3 if kind == b"P6" else 1
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * ch, offset=m.end()
+    ).reshape(h, w, ch)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV -> (samples float64 in [-1, 1] shaped (n, channels), rate).
+    Pure stdlib ``wave``; 16-bit PCM only."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("non-16-bit WAV")
+        ch = wf.getnchannels()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return samples.reshape(-1, ch), rate
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — the stdlib-only image op backing the
+    resize stage (vectorized index gather, no loops)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """(h, w, c) -> FEATURE_DIM floats: dims, global/channel stats, and
+    an 8-bin gray histogram (density)."""
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    pix = img.reshape(-1, c).astype(np.float64)
+    gray = pix.mean(axis=1)
+    hist = np.histogram(gray, bins=8, range=(0.0, 256.0))[0] / max(len(gray), 1)
+    chan = [pix[:, i].mean() if i < c else 0.0 for i in range(3)]
+    out = [float(w), float(h), float(c), float(pix.mean()), float(pix.std())]
+    out += [float(x) for x in chan]
+    out += [float(x) for x in hist]
+    return np.asarray(out, dtype=np.float32)
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(n, ch) samples -> FEATURE_DIM floats: shape/rate, amplitude
+    stats, zero-crossing rate, 8-bin |amplitude| histogram."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    hist = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))[0] / max(n, 1)
+    out = [
+        float(n), float(rate), float(samples.shape[1]), float(mono.mean()),
+        float(np.sqrt(np.mean(mono**2))), zcr, float(mono.min() if n else 0.0),
+        float(mono.max() if n else 0.0),
+    ]
+    out += [float(x) for x in hist]
+    return np.asarray(out, dtype=np.float32)
+
+
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
+    """Real decode + feature extraction for the formats a pure-Python
+    stack can handle (BMP / binary PNM / 16-bit-PCM WAV). Compressed
+    codecs (jpeg/png/mp3/h264) still need PIL/ffmpeg — those mimes raise
+    NotImplementedError explicitly rather than faking it."""
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return _image_features(decode_bmp(payload))
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        return _image_features(decode_ppm(payload))
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _audio_features(*decode_wav(payload))
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg, not available in this container; "
-        "wire the real decoder here and flip use_fake=False"
+        f"no pure-python decoder for {mime}; jpeg/png/mp3/h264 need "
+        "PIL/ffmpeg — wire them here"
     )
 
 
@@ -95,12 +206,20 @@ def extract_media_features(
 
 
 def frame_sample_plan(
-    media: DataFrame, every_n: int = 30, payload_col: str = "payload"
+    media: DataFrame,
+    every_n: int = 30,
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+    window_samples: int = 1024,
 ) -> DataFrame:
     """Frame-sampling plumbing: emits (media_id, frame_idx, frame_payload)
-    rows — one row per sampled frame. The splitter is a stub that chunks
-    the payload deterministically; a real ffmpeg-backed splitter has the
-    identical mapInPandas signature and output schema."""
+    rows — one row per sampled frame.
+
+    WAV payloads are REALLY windowed: decoded (stdlib wave), mono-mixed,
+    and emitted as float32 windows of ``window_samples``, taking every
+    ``every_n``-th window. Other mimes fall back to deterministic
+    ``every_n``-byte chunking (the container has no video codecs; an
+    ffmpeg-backed splitter has this exact mapInPandas signature)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType()),
@@ -112,13 +231,24 @@ def frame_sample_plan(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf[payload_col], pdf[mime_col]
+            ):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                # stub: treat each `every_n`-byte chunk as one "frame"
-                for i, off in enumerate(range(0, len(b), every_n)):
-                    rows.append((mid, i, b[off : off + every_n]))
+                if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+                    samples, _ = decode_wav(b)
+                    mono = samples.mean(axis=1).astype(np.float32)
+                    n_win = len(mono) // window_samples
+                    for i, wi in enumerate(range(0, n_win, max(every_n, 1))):
+                        frame = mono[
+                            wi * window_samples : (wi + 1) * window_samples
+                        ]
+                        rows.append((mid, i, frame.tobytes()))
+                else:
+                    for i, off in enumerate(range(0, len(b), every_n)):
+                        rows.append((mid, i, b[off : off + every_n]))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_payload"]
             )

@@ -100,10 +100,10 @@ class DedupePipeline:
         )
         # lowercase/punct-strip FIRST (the reference cleans processed_
         # donors, already lowercased at load), THEN the guarded 20-group
-        # abbrev canonicalization + org-name expansion (N4 + N5)
-        ntext = normalize.expand_org_names(
-            normalize.canonicalize_abbrev(normalize.normalize_text(txt))
-        )
+        # abbrev canonicalization + org-name expansion (N4 + N5) as an
+        # opaque Arrow UDF — every native shape of the 23-step chain is
+        # optimizer-toxic (see normalize.canonicalize_udf).
+        ntext = normalize.canonicalize_udf()(normalize.normalize_text(txt))
         return df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
 
     def signatures(self, extracted: DataFrame) -> DataFrame:

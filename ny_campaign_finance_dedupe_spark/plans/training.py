@@ -30,6 +30,15 @@ from pyspark.sql import Column, DataFrame, Window
 from ..operators import blocking
 
 
+def random_pair_sample(
+    pairs: DataFrame, fraction: float, seed: int = 42
+) -> DataFrame:
+    """T1 (dedupe/core.py randomPairs / api sample): seeded uniform
+    sample of candidate pairs for labeling — native ``df.sample``, fully
+    distributed, deterministic per (seed, partitioning)."""
+    return pairs.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
 @dataclass
 class PredicateStats:
     name: str

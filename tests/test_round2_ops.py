@@ -225,3 +225,150 @@ def test_tfidf_beats_token_set_cosine(spark):
     assert tf_rare > tf_common
     assert tf_rare - tf_common > (pl_rare - pl_common)
     assert tf_common < 0.35  # 'the of' overlap is nearly worthless
+
+
+def test_canonicalize_udf_matches_fold(spark):
+    """The Arrow-UDF canonicalization (pipeline form) must be
+    byte-identical to the Catalyst fold (oracle-parity form)."""
+    from ny_campaign_finance_dedupe_spark.functions import normalize
+
+    rows = [
+        ("123 main st apt 4",), ("main street at st marks",),
+        ("p o box 99 nyc",), ("nys thruway exit 23 hwy",),
+        ("nothing to do here",), (None,), ("plc pl plaza plz",),
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    nt = normalize.normalize_text(F.col("v"))
+    both = df.select(
+        normalize.canonicalize_udf()(nt).alias("u"),
+        normalize.expand_org_names(normalize.canonicalize_abbrev(nt)).alias(
+            "c"
+        ),
+    ).collect()
+    for r in both:
+        assert r["u"] == r["c"], (r["u"], r["c"])
+
+
+def test_random_pair_sample_deterministic(spark):
+    """T1: seeded sampling is reproducible and roughly proportional."""
+    from ny_campaign_finance_dedupe_spark.plans import training
+
+    pairs = spark.range(2000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    a = training.random_pair_sample(pairs, 0.1, seed=7).collect()
+    b = training.random_pair_sample(pairs, 0.1, seed=7).collect()
+    assert a == b
+    assert 100 < len(a) < 320
+
+
+def test_blocking_map_unique_keys(spark):
+    """build_blocking_map's no-dedup invariant: every keygen generator
+    emits per-record-distinct keys, and name prefixes separate
+    predicates, so (block_key, record_id) is unique by construction."""
+    from ny_campaign_finance_dedupe_spark.operators import blocking
+
+    df = spark.createDataFrame(
+        [(1, "the the quick quick brown brown fox"), (2, "a a a b b c")],
+        "doc_id long, text string",
+    )
+    bm = blocking.build_blocking_map(
+        df,
+        "doc_id",
+        {
+            "tok": keygen.tokens(F.col("text")),
+            "w2": keygen.word_ngrams(F.col("text"), 2),
+            "fp": keygen.fingerprint(F.col("text")),
+            "ph": keygen.phonetic_tokens(F.col("text")),
+        },
+    )
+    assert bm.count() == bm.dropDuplicates(["block_key", "record_id"]).count()
+
+
+# --- real media decoders ----------------------------------------------------
+
+def _bmp_bytes(w, h, rgb):
+    """Minimal 24-bit BMP writer (test fixture)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        img += row
+    off = 14 + 40
+    size = off + len(img)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 0, 0, 0, 0)
+    return bytes(hdr + dib + img)
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_bmp_decode_features(spark):
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    payload = _bmp_bytes(4, 2, lambda x, y: (255, 0, 0))  # all red
+    img = multimodal.decode_bmp(payload)
+    assert img.shape == (2, 4, 3)
+    assert (img[..., 0] == 255).all() and (img[..., 1] == 0).all()
+    rows = [("b1", payload, "image/bmp", None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_media_features(df, use_fake=False).collect()[0][
+        "features"
+    ]
+    assert feats[0] == 4.0 and feats[1] == 2.0 and feats[2] == 3.0
+    assert feats[5] == 255.0  # mean of R channel
+
+
+def test_real_ppm_and_resize():
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    payload = b"P6\n4 2\n255\n" + bytes([10, 20, 30] * 8)
+    img = multimodal.decode_ppm(payload)
+    assert img.shape == (2, 4, 3) and img[0, 0, 2] == 30
+    small = multimodal.resize_nearest(img, 2, 1)
+    assert small.shape == (1, 2, 3)
+
+
+def test_real_wav_decode_and_windowing(spark):
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    payload = _wav_bytes([0, 16384, -16384, 0] * 1024, rate=8000)
+    samples, rate = multimodal.decode_wav(payload)
+    assert rate == 8000 and samples.shape == (4096, 1)
+    rows = [("w1", payload, "audio/wav", None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_media_features(df, use_fake=False).collect()[0][
+        "features"
+    ]
+    assert feats[0] == 4096.0 and feats[1] == 8000.0
+    assert 0.3 < feats[4] < 0.4  # rms of the square-ish wave
+    frames = multimodal.frame_sample_plan(df, every_n=2).collect()
+    assert len(frames) == 2  # 4 windows of 1024, every 2nd
+    assert len(bytes(frames[0]["frame_payload"])) == 1024 * 4  # float32
+
+
+def test_unsupported_mime_raises(spark):
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    rows = [("j1", b"\xff\xd8\xff", "image/jpeg", None, None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no pure-python"):
+        multimodal.extract_media_features(df, use_fake=False).collect()
