@@ -624,6 +624,31 @@ def q_carry_forward(spark, sf_dir):
     return clustering.carry_forward_cluster_ids(prev, cur).orderBy("record_id")
 
 
+def q_biggest_clusters(spark, sf_dir):
+    """A4 (campaign_finance_dedupe.py:419-428): top-10 clusters by size
+    over the fingerprint entity map."""
+    em = q_fingerprint_clusters(spark, sf_dir)
+    return reports.biggest_clusters(em, n=10)
+
+
+def q_predicate_costs(spark, sf_dir):
+    """T6 (dedupe/training.py:223-226): per-predicate comparison-count
+    extrapolation from a sample's block profile (sample = the fixture,
+    full = 2x — a deterministic ratio)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return training.predicate_costs(
+        docs,
+        "doc_id",
+        {
+            "ft": keygen.first_token(F.col("text")),
+            "fp": keygen.fingerprint(F.col("text")),
+        },
+        full_count=2 * n,
+        sample_count=n,
+    ).orderBy("predicate")
+
+
 def q_er_pipeline(spark, sf_dir):
     """The flagship three-stage ER pipeline over documents-as-pages, in
     the portable-hash configuration so the WHOLE pipeline — normalize,
@@ -676,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_keys": q_phonetic_keys,
         "incremental_match": q_incremental_match,
         "normalize_canonical": q_normalize_canonical,
+        "biggest_clusters": q_biggest_clusters,
+        "predicate_costs": q_predicate_costs,
         "editdist_pairs": q_editdist_pairs,
         "carry_forward": q_carry_forward,
     }
@@ -1271,6 +1298,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src, dst
         """,
         "normalize_canonical": _normalize_canonical_sql(),
+        "biggest_clusters": f"""
+            WITH fp AS (SELECT doc_id AS record_id, {_FP} AS f FROM documents),
+            em AS (SELECT record_id,
+                          MIN(record_id) OVER (PARTITION BY f) AS cluster_id
+                   FROM fp),
+            h AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM em GROUP BY cluster_id)
+            SELECT cluster_id, cluster_size FROM h
+            ORDER BY cluster_size DESC, cluster_id LIMIT 10
+        """,
+        "predicate_costs": """
+            WITH n0 AS (SELECT COUNT(*) AS c FROM documents),
+            bm AS (
+              SELECT 'ft' AS predicate, split_part(text, ' ', 1) AS key,
+                     doc_id
+              FROM documents WHERE text IS NOT NULL
+                AND split_part(text, ' ', 1) <> ''
+              UNION ALL
+              SELECT 'fp',
+                array_to_string(list_sort(list_distinct(
+                  string_split(text, ' '))), ''), doc_id
+              FROM documents WHERE text IS NOT NULL
+            ),
+            pb AS (SELECT predicate, key, COUNT(*) AS n
+                   FROM bm GROUP BY predicate, key)
+            SELECT predicate,
+                   SUM(n * (n - 1)) / 2
+                     * ((SELECT CAST((2 * c) * (2 * c - 1) AS DOUBLE) FROM n0)
+                        / (SELECT c * (c - 1) FROM n0)) AS est_comparisons
+            FROM pb GROUP BY predicate ORDER BY predicate
+        """,
         "editdist_pairs": """
             WITH kx AS (SELECT doc_id, substring(text, 1, 12) AS k
                         FROM documents

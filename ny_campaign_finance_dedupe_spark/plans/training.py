@@ -30,6 +30,59 @@ from pyspark.sql import Column, DataFrame, Window
 from ..operators import blocking
 
 
+def active_learn(
+    pairs_with_features: DataFrame,
+    oracle_fn,
+    seed_labeled: DataFrame,
+    rounds: int = 5,
+    batch_size: int = 10,
+    l2: float = 0.1,
+):
+    """T3 — active learning by uncertainty sampling (the reference's
+    ``uncertainPairs`` console loop, dedupe/api.py:1212-1250 +
+    labeler.py, with the human replaced by a programmatic labeling
+    surface).
+
+    Each round scores EVERY candidate pair with the current model
+    (distributed, native sigmoid expression), takes the ``batch_size``
+    most uncertain pairs (|p - 0.5| smallest — compiles to
+    TakeOrderedAndProject, no global sort), asks ``oracle_fn(rows) ->
+    labels`` for their labels (the console/human/truth-set seam; only
+    the tiny batch ever reaches the driver), appends them to the
+    labeled set and refits. Returns (model, labeled_df).
+    """
+    from ..operators import scoring
+
+    spark = pairs_with_features.sparkSession
+    labeled = seed_labeled.select(*scoring.FEATURES, "label").localCheckpoint()
+    model = scoring.train_logistic(labeled, l2=l2)
+    seen: set = set()
+    for _ in range(rounds):
+        scored = scoring.score_pairs(pairs_with_features, model)
+        batch = (
+            scored.withColumn("_unc", F.abs(F.col("score") - 0.5))
+            .orderBy("_unc", "src", "dst")
+            .limit(batch_size + len(seen))
+        )
+        rows = [
+            r for r in batch.collect() if (r["src"], r["dst"]) not in seen
+        ][:batch_size]
+        if not rows:
+            break
+        labels = oracle_fn(rows)
+        seen.update((r["src"], r["dst"]) for r in rows)
+        new = spark.createDataFrame(
+            [
+                [float(r[f]) for f in scoring.FEATURES] + [float(lab)]
+                for r, lab in zip(rows, labels)
+            ],
+            scoring.FEATURES + ["label"],
+        )
+        labeled = labeled.unionByName(new).localCheckpoint()
+        model = scoring.train_logistic(labeled, l2=l2)
+    return model, labeled
+
+
 def random_pair_sample(
     pairs: DataFrame, fraction: float, seed: int = 42
 ) -> DataFrame:
@@ -92,8 +145,11 @@ def predicate_costs(
     )
     r = (full_count * (full_count - 1)) / max(sample_count * (sample_count - 1), 1)
     per_block = bm.groupBy("predicate", "block_key").agg(F.count("*").alias("n"))
+    # sum the INTEGER n(n-1) (exact, order-independent) and divide once:
+    # a float per-block sum is summation-order nondeterministic across
+    # partitions, which breaks bit-exact reproducibility of the estimate
     return per_block.groupBy("predicate").agg(
-        (F.sum(F.col("n") * (F.col("n") - 1) / 2) * F.lit(float(r))).alias(
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2 * F.lit(float(r))).alias(
             "est_comparisons"
         )
     )

@@ -227,6 +227,48 @@ def test_tfidf_beats_token_set_cosine(spark):
     assert tf_common < 0.35  # 'the of' overlap is nearly worthless
 
 
+def test_active_learning_improves_model(spark):
+    """T3: uncertainty sampling with a programmatic oracle must push the
+    decision boundary toward the true rule (f_jaccard > 0.55) that the
+    weak seed labels underdetermine."""
+    from ny_campaign_finance_dedupe_spark.plans import training
+
+    rows = []
+    for i in range(200):
+        j = (i % 100) / 100.0
+        rows.append((i, i + 1000, 0.0, j, 0.0, 0.5, 0.0))
+    pairs = spark.createDataFrame(
+        rows, "src long, dst long, f_cosine double, f_jaccard double,"
+        " f_lev double, f_len double, f_missing double"
+    )
+    truth = lambda r: 1.0 if r["f_jaccard"] > 0.55 else 0.0
+    # seed: only the easy extremes
+    seed = spark.createDataFrame(
+        [(0.0, 0.05, 0.0, 0.5, 0.0, 0.0), (0.0, 0.95, 0.0, 0.5, 0.0, 1.0)],
+        "f_cosine double, f_jaccard double, f_lev double, f_len double,"
+        " f_missing double, label double",
+    )
+    model, labeled = training.active_learn(
+        pairs, lambda rs: [truth(r) for r in rs], seed,
+        rounds=4, batch_size=12,
+    )
+    from ny_campaign_finance_dedupe_spark.operators import scoring
+
+    scored = scoring.score_pairs(pairs, model)
+    got = scored.select(
+        "f_jaccard", (F.col("score") >= 0.5).cast("int").alias("pred")
+    ).collect()
+    acc = sum(
+        1 for r in got if r["pred"] == (1 if r["f_jaccard"] > 0.55 else 0)
+    ) / len(got)
+    assert acc >= 0.9, acc
+    # the sampler concentrated labels near the boundary
+    near = labeled.where(
+        (F.col("f_jaccard") > 0.35) & (F.col("f_jaccard") < 0.75)
+    ).count()
+    assert near >= 20
+
+
 def test_canonicalize_udf_matches_fold(spark):
     """The Arrow-UDF canonicalization (pipeline form) must be
     byte-identical to the Catalyst fold (oracle-parity form)."""
