@@ -102,9 +102,25 @@ class DedupePipeline:
         # donors, already lowercased at load), THEN the guarded 20-group
         # abbrev canonicalization + org-name expansion (N4 + N5) as an
         # opaque Arrow UDF — every native shape of the 23-step chain is
-        # optimizer-toxic (see normalize.canonicalize_udf).
-        ntext = normalize.canonicalize_udf()(normalize.normalize_text(txt))
-        return df.select("url", "warc_ts", "lang", ntext.alias("ntext"))
+        # optimizer-toxic (see normalize.canonicalize_udf). The UDF input
+        # is gated JVM-side (rlike on the combined abbreviation pattern):
+        # pandas-UDF arguments are evaluated unconditionally, so the gate
+        # must live INSIDE the argument — non-matching pages ship a null
+        # through Arrow instead of their whole text (~2x off the UDF
+        # overhead; the two-step select computes the normalize chain once
+        # — CollapseProject declines to inline a non-cheap expression
+        # referenced three times).
+        pre = df.select(
+            "url", "warc_ts", "lang",
+            normalize.normalize_text(txt).alias("_nt"),
+        )
+        c = F.col("_nt")
+        gated = normalize.canonicalize_udf()(
+            F.when(c.rlike(normalize.any_abbrev_pattern()), c)
+        )
+        return pre.select(
+            "url", "warc_ts", "lang", F.coalesce(gated, c).alias("ntext")
+        )
 
     def signatures(self, extracted: DataFrame) -> DataFrame:
         """MinHash + SimHash signatures over checkpointed ntext.
