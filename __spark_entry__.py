@@ -624,6 +624,26 @@ def q_carry_forward(spark, sf_dir):
     return clustering.carry_forward_cluster_ids(prev, cur).orderBy("record_id")
 
 
+def q_set_keys(spark, sf_dir):
+    """Set-predicate family end-to-end (predicates.py:485-518): whole
+    set, first/last sorted element, sorted-element 2/3-gram counts over
+    the distinct-token set of each document."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = keygen.tokens(F.col("text"))
+
+    def ifnn(c):  # null text -> null output (mirror the oracle's CASE)
+        return F.when(F.col("text").isNull(), F.lit(None)).otherwise(c)
+
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        ifnn(F.get(keygen.whole_set(toks), 0)).alias("ws"),
+        ifnn(F.get(keygen.first_set_element(toks), 0)).alias("fse"),
+        ifnn(F.get(keygen.last_set_element(toks), 0)).alias("lse"),
+        ifnn(F.size(keygen.common_two_elements(toks))).alias("n_pairs2"),
+        ifnn(F.size(keygen.common_three_elements(toks))).alias("n_trip3"),
+    ).orderBy("record_id")
+
+
 def q_biggest_clusters(spark, sf_dir):
     """A4 (campaign_finance_dedupe.py:419-428): top-10 clusters by size
     over the fingerprint entity map."""
@@ -701,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_keys": q_phonetic_keys,
         "incremental_match": q_incremental_match,
         "normalize_canonical": q_normalize_canonical,
+        "set_keys": q_set_keys,
         "biggest_clusters": q_biggest_clusters,
         "predicate_costs": q_predicate_costs,
         "editdist_pairs": q_editdist_pairs,
@@ -1298,6 +1319,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src, dst
         """,
         "normalize_canonical": _normalize_canonical_sql(),
+        "set_keys": """
+            WITH s AS (SELECT doc_id, text,
+                              list_sort(list_distinct(
+                                string_split(text, ' '))) AS t
+                       FROM documents)
+            SELECT doc_id AS record_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE array_to_string(t, ',') END AS ws,
+                   CASE WHEN text IS NULL OR len(t) = 0 THEN NULL
+                        ELSE t[1] END AS fse,
+                   CASE WHEN text IS NULL OR len(t) = 0 THEN NULL
+                        ELSE t[len(t)] END AS lse,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END
+                     AS n_pairs2,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END
+                     AS n_trip3
+            FROM s ORDER BY record_id
+        """,
         "biggest_clusters": f"""
             WITH fp AS (SELECT doc_id AS record_id, {_FP} AS f FROM documents),
             em AS (SELECT record_id,
