@@ -28,7 +28,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # full precision: the driver's value-hash is bit-sensitive, so a
+        # 9-sig-digit local compare can pass where the driver fails
+        # (run_stats did exactly that in round 1)
+        return f"{v:.17g}"
     return str(v)
 
 
