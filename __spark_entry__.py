@@ -1166,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(cluster_size)::DOUBLE / COUNT(*)::DOUBLE
                      AS avg_cluster_size,
                    COUNT(*) AS total_clusters,
-                   SUM(cluster_size) AS total_records,
+                   CAST(SUM(cluster_size) AS BIGINT) AS total_records,
                    COUNT(*)::DOUBLE / SUM(cluster_size)::DOUBLE
                      AS cluster_record_ratio
             FROM h
@@ -1409,10 +1409,27 @@ def oracle_sql() -> dict[str, str]:
                           SELECT *, ROW_NUMBER() OVER (
                             PARTITION BY prev_id
                             ORDER BY overlap DESC, cluster_id) AS r
-                          FROM best_prev) WHERE r = 1)
+                          FROM best_prev) WHERE r = 1),
+            fb AS (SELECT c.cluster_id,
+                          MIN(CASE WHEN cl.prev_id IS NULL
+                                   THEN c.record_id END) AS free_min
+                   FROM cur c
+                   LEFT JOIN (SELECT prev_id FROM winners) cl
+                          ON c.record_id = cl.prev_id
+                   WHERE c.cluster_id NOT IN
+                         (SELECT cluster_id FROM winners)
+                   GROUP BY c.cluster_id),
+            remap AS (SELECT fb.cluster_id,
+                             CASE WHEN fb.cluster_id IN
+                                       (SELECT prev_id FROM winners)
+                                  THEN COALESCE(fb.free_min,
+                                                -fb.cluster_id)
+                                  ELSE fb.cluster_id END AS new_id
+                      FROM fb)
             SELECT cur.record_id,
-                   COALESCE(w.prev_id, cur.cluster_id) AS cluster_id
+                   COALESCE(w.prev_id, r.new_id) AS cluster_id
             FROM cur LEFT JOIN winners w USING (cluster_id)
+                     LEFT JOIN remap r USING (cluster_id)
             ORDER BY record_id
         """,
         "er_pipeline": _er_pipeline_sql(),

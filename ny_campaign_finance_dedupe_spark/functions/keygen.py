@@ -420,7 +420,10 @@ def deletion_variants(col: Column | str, key_len: int = 12) -> Column:
     Levenshtein ball tree. Linear fan-out: key_len+1 keys per record."""
     c = F.substring(_c(col), 1, key_len)
     n = F.length(c)
-    dels = F.when(n <= 1, F.array().cast("array<string>")).otherwise(
+    # n == 1 emits the empty-string deletion so two distinct single-char
+    # keys (distance 1 via substitution) still co-block; the "" block is
+    # bounded by the alphabet size, so the fan-out stays linear
+    dels = F.when(n <= 1, F.array(F.lit(""))).otherwise(
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.concat(

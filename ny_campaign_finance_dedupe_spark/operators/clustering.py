@@ -281,6 +281,14 @@ def carry_forward_cluster_ids(
     new id; clusters with no overlapping members keep their new id. All
     deterministic windows over one overlap aggregation — two shuffles.
 
+    Collision guard: both id spaces are min-member record ids, so a
+    loser's fallback id can equal a prev_id just adopted by the winner
+    of its own split (prev anchor record landed in the losing fragment).
+    Losers whose own id was claimed by a winner are remapped to their
+    smallest member record id not claimed by any winner; in the corner
+    where every member id is claimed, to the negation of their id
+    (record ids are non-negative, so negatives cannot collide).
+
     Input/output: (record_id, cluster_id) maps.
     """
     ov = (
@@ -311,11 +319,47 @@ def carry_forward_cluster_ids(
         .where(F.col("_r") == 1)
         .select("cluster_id", "prev_id")
     )
+    # ids claimed by winners live in record-id space; a loser may not
+    # fall back onto one of them
+    claimed = winners.select(F.col("prev_id").alias("_claimed_id"))
+    losers = cur_map.join(
+        winners.select("cluster_id"), "cluster_id", "left_anti"
+    )
+    free_min = (
+        losers.join(
+            claimed,
+            losers["record_id"] == claimed["_claimed_id"],
+            "left",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.when(F.col("_claimed_id").isNull(), F.col("record_id"))
+            ).alias("free_min")
+        )
+    )
+    remap = (
+        free_min.join(
+            claimed,
+            free_min["cluster_id"] == claimed["_claimed_id"],
+            "left",
+        )
+        .select(
+            "cluster_id",
+            F.when(
+                F.col("_claimed_id").isNotNull(),
+                F.coalesce("free_min", -F.col("cluster_id")),
+            )
+            .otherwise(F.col("cluster_id"))
+            .alias("new_id"),
+        )
+    )
     return (
         cur_map.join(winners, "cluster_id", "left")
+        .join(remap, "cluster_id", "left")
         .select(
             "record_id",
-            F.coalesce("prev_id", F.col("cluster_id")).alias("cluster_id"),
+            F.coalesce("prev_id", "new_id").alias("cluster_id"),
         )
     )
 

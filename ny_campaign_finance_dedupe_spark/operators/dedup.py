@@ -26,19 +26,23 @@ from ..functions import hashing, keygen, portable
 
 def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     """(record_id, cluster_id, cluster_size): cluster_id = min id among
-    byte-identical payloads. One shuffle (groupBy payload hash)."""
+    byte-identical payloads.
+
+    Scale shape: aggregate only (min, count) per payload hash, then join
+    the (record_id, hash) projection back to the aggregate — the J2
+    hydration pattern. No per-group member array: a degenerate cluster
+    (empty/boilerplate pages, hundreds of millions of members at
+    Common-Crawl scale) costs one counter in the agg and streams through
+    the join; the old ``collect_list`` materialized it in one task.
+    """
     key = F.sha2(F.col(payload).cast("string"), 256)
-    agg = (
-        df.select(F.col(id_col).alias("record_id"), key.alias("k"))
-        .groupBy("k")
-        .agg(
-            F.min("record_id").alias("cluster_id"),
-            F.count("*").alias("cluster_size"),
-            F.collect_list("record_id").alias("members"),
-        )
+    keyed = df.select(F.col(id_col).alias("record_id"), key.alias("k"))
+    agg = keyed.groupBy("k").agg(
+        F.min("record_id").alias("cluster_id"),
+        F.count("*").alias("cluster_size"),
     )
-    return agg.select(
-        F.explode("members").alias("record_id"), "cluster_id", "cluster_size"
+    return keyed.join(agg, "k").select(
+        "record_id", "cluster_id", "cluster_size"
     )
 
 

@@ -28,6 +28,22 @@ def test_exact_duplicates(docs):
     assert out[3][1] == 1 and out[4][1] == 1
 
 
+def test_exact_duplicates_no_member_array(spark):
+    """Scale shape (VERDICT r02 #2): a degenerate exact-dup cluster
+    (every boilerplate page identical) must not materialize a per-group
+    member array in one task — the optimized plan must contain no
+    collect_list, only (min, count) agg + hydration join."""
+    rows = [(i, "boilerplate") for i in range(200)] + [(1000, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_duplicates(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    got = {r["record_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in out.collect()}
+    assert got[0] == (0, 200) and got[199] == (0, 200)
+    assert got[1000] == (1000, 1)
+
+
 def test_ngram_jaccard_pairs(docs):
     got = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
     pairs = {(r["src"], r["dst"]): r["jaccard"] for r in got}

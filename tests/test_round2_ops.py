@@ -144,6 +144,50 @@ def test_carry_forward_cluster_ids(spark):
     assert out[6] == 6
 
 
+def test_carry_forward_split_anchor_collision(spark):
+    # prev cluster anchored at record 1 splits; the anchor lands in the
+    # LOSING fragment, whose fallback id (1) equals the prev_id the
+    # winner adopts — must be remapped, not silently merged
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "record_id long, cluster_id long"
+    )
+    cur = spark.createDataFrame(
+        [(1, 1), (9, 1), (2, 2), (3, 2)], "record_id long, cluster_id long"
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
+    }
+    # {2,3} (overlap 2) wins prev id 1; loser {1,9} may NOT keep id 1 —
+    # it takes its smallest unclaimed member id (9)
+    assert out[2] == out[3] == 1
+    assert out[1] == out[9] == 9
+    assert len({out[1], out[2]}) == 2
+
+
+def test_carry_forward_all_members_claimed(spark):
+    # degenerate corner: every member of the losing cluster is an anchor
+    # claimed by some winner -> negative fresh id, distinct from all
+    prev = spark.createDataFrame(
+        [(1, 1), (5, 1), (6, 1), (2, 2), (7, 2), (8, 2)],
+        "record_id long, cluster_id long",
+    )
+    cur = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (7, 7), (8, 7)],
+        "record_id long, cluster_id long",
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
+    }
+    # {5,6} wins prev 1, {7,8} wins prev 2; loser {1,2} has both members
+    # claimed and its own id claimed -> -1
+    assert out[5] == out[6] == 1
+    assert out[7] == out[8] == 2
+    assert out[1] == out[2] == -1
+    assert len({out[1], out[5], out[7]}) == 3
+
+
 # --- set-element predicates -------------------------------------------------
 
 def test_common_two_three_elements(spark):
@@ -183,6 +227,19 @@ def test_deletion_variants_cover_distance_one(spark):
         for r in df.select(keygen.deletion_variants("v", 12).alias("k")).collect()
     ]
     assert ks[0] & ks[1]  # substitution still shares a deletion variant
+
+
+def test_edit_distance_pairs_single_char_keys(spark):
+    # two distinct 1-char texts are distance 1 via substitution; the
+    # empty-string deletion variant must co-block them (ADVICE r02)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in dedup.edit_distance_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
 
 
 def test_ngram_df_cap_drops_hot_shingle(spark):

@@ -40,6 +40,42 @@ def rows_key(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+# The driver's value-hash canonicalizes all signed ints <= 64 bits the
+# same way (r02 evidence: i32-vs-i64 rank columns hash-green) but NOT
+# int128 (DuckDB HUGEINT from SUM(BIGINT) — run_stats hash-red in r02),
+# so widths <= 64 collapse to one bucket and HUGEINT stays distinct.
+
+def canon_spark_type(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array"):
+        return "list"
+    return {
+        "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+        "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+        "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+        "binary": "bytes",
+    }.get(t, t)
+
+
+def canon_duck_type(t: str) -> str:
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("STRUCT("):
+        return "list"
+    return {
+        "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int",
+        "TINYINT": "int",
+        "HUGEINT": "i128",  # never matches Spark: SUM(BIGINT) needs a CAST
+        "UBIGINT": "u64", "UINTEGER": "u32",
+        "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+        "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "BLOB": "bytes",
+    }.get(t, t)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -76,6 +112,20 @@ def main():
         problems = []
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             problems.append(f"cols spark={scols} duck={ocols}")
+        else:
+            # type identity: the driver's value-hash canonicalizes by type, so
+            # DuckDB HUGEINT vs Spark BIGINT hash-differs on identical values
+            stypes = {c.lower(): canon_spark_type(t) for c, t in sdf.dtypes}
+            otypes = {
+                c.lower(): canon_duck_type(t)
+                for c, t in zip(ocols, res.types)
+            }
+            tdiff = [
+                (c, stypes[c], otypes[c])
+                for c in stypes if stypes[c] != otypes[c]
+            ]
+            if tdiff:
+                problems.append(f"types differ (col, spark, duck): {tdiff}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if not problems:
