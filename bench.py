@@ -108,7 +108,11 @@ def _time_df(fn, *args) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn(*args)
     n = df.count()
-    return time.perf_counter() - t0, n
+    secs = time.perf_counter() - t0
+    # reclaim operator-internal caches between queries (dedup._tag_persisted):
+    # this loop materializes-and-discards 17 results in one session
+    dedup.release(df)
+    return secs, n
 
 
 def main() -> None:

@@ -151,9 +151,19 @@ def exists_key(col: Column | str) -> Column:
 def compound(a: Column, b: Column) -> Column:
     """CompoundPredicate (predicates.py:325-342): cartesian product of two
     key arrays joined with ':'. Our composite blocking key
-    domain + simhash_band IS this operator."""
-    return F.flatten(
-        F.transform(a, lambda x: F.transform(b, lambda y: F.concat_ws(":", x, y)))
+    domain + simhash_band IS this operator.
+
+    array_distinct upholds build_blocking_map's per-record-distinct
+    invariant: the ':' separator is ambiguous when component keys
+    themselves contain ':' (['x:y','x'] x ['z','y:z'] both yield
+    'x:y:z'), and a repeated (key, id) row would duplicate self-join
+    pairs and inflate block-size profiles. Per-record cost only."""
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                a, lambda x: F.transform(b, lambda y: F.concat_ws(":", x, y))
+            )
+        )
     )
 
 

@@ -293,7 +293,13 @@ def lsh_topk(
     re-rank within candidates. Same output schema as brute_force_topk.
     ``portable=True`` swaps the gaussian-seeded planes for the md5/±1
     integer-exact family (portable_bucket_keys) — the oracle-checkable
-    variant; identical plan."""
+    variant; identical plan.
+
+    Shuffle shape: the candidate stage carries (id, bucket) ONLY — a
+    vector colliding in several bands would otherwise ride the exchange
+    once per collision (~8x the necessary volume at 64-dim float). The
+    embeddings re-join AFTER dropDuplicates (the J2 hydration pattern,
+    pairs.hydrate_pairs), so each survives exactly one exchange."""
     def keyed(df, role):
         kexpr = (
             portable_bucket_keys(F.col(vec_col), dim, bands, bits)
@@ -302,16 +308,25 @@ def lsh_topk(
         )
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}v"),
             F.explode(kexpr).alias("bucket"),
         )
 
-    qk = keyed(queries, "query")
-    ck = keyed(corpus, "neighbor")
-    cand = (
-        qk.join(ck, "bucket")
+    cand_ids = (
+        keyed(queries, "query")
+        .join(keyed(corpus, "neighbor"), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("queryv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighborv")
+    )
+    cand = (
+        cand_ids.join(qv, "query_id")
+        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -344,28 +359,33 @@ def cosine_neardup_bucketed(
     sign patterns collide in no band is missed; at neardup thresholds
     (cosine >= 0.9 => theta <= 26deg => per-band collision
     (1-theta/pi)^8 ~ 0.28, miss ~ (1-0.28)^16 ~ 0.5%) recall is
-    margin-safe and tunable by (bands, bits)."""
+    margin-safe and tunable by (bands, bits).
+
+    The candidate shuffle is ids-only ((id, bucket) exchange, vectors
+    re-joined after dropDuplicates — pairs.hydrate_pairs shape), so a
+    vector crosses the wire once, not once per band collision."""
     if dim is None:
         dim = int(
             df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
         )
     keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(bucket_keys(F.col(vec_col), dim, bands, bits, seed)).alias(
             "bucket"
         ),
     )
-    l = keyed.select(
-        F.col("_id").alias("src"), F.col("_v").alias("va"), "bucket"
-    )
-    r = keyed.select(
-        F.col("_id").alias("dst"), F.col("_v").alias("vb"), "bucket"
-    )
-    return (
-        l.join(r, "bucket")
+    cand = (
+        keyed.select(F.col("_id").alias("src"), "bucket")
+        .join(keyed.select(F.col("_id").alias("dst"), "bucket"), "bucket")
         .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
+    )
+    va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "src")
+        .join(vb, "dst")
         .select(
             "src",
             "dst",
@@ -388,6 +408,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     max_broadcast_rows: int = NEARDUP_BROADCAST_MAX_ROWS,
+    exact: bool | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (src < dst).
 
@@ -397,11 +418,36 @@ def cosine_neardup_pairs(
     exchange carries results, never the n^2 pair space. Above it the plan
     switches to ``cosine_neardup_bucketed`` (LSH bands + exact cosine
     re-check): fully distributed, no driver collect, recall margin-safe
-    at neardup thresholds. Same output contract either way."""
-    if df.count() > max_broadcast_rows:
-        return cosine_neardup_bucketed(
-            df, id_col, vec_col, threshold
-        ).select("src", "dst", "cosine")
+    at neardup thresholds. Same output contract either way.
+
+    ``exact`` pins the strategy: True forces the GEMM plan (raises via
+    ``_matrix`` if the corpus exceeds the broadcast contract — fail fast
+    beats a silent ~0.5% recall loss), False forces the bucketed plan.
+    The default (None) keeps the size-adaptive choice but WARNS when it
+    degrades to the approximate plan, so the "all pairs >= threshold"
+    contract never weakens silently. The size probe is a bounded
+    ``limit(max+1).count()``, not a full count over the corpus."""
+    if exact is None or not exact:
+        big = (
+            df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+            if exact is None
+            else True
+        )
+        if big:
+            if exact is None:
+                import warnings
+
+                warnings.warn(
+                    f"cosine_neardup_pairs: corpus exceeds "
+                    f"{max_broadcast_rows} rows; degrading to the "
+                    f"LSH-bucketed approximate plan (~0.5% recall loss at "
+                    f"threshold 0.9). Pass exact=False to silence, or "
+                    f"exact=True to force the exact plan.",
+                    stacklevel=2,
+                )
+            return cosine_neardup_bucketed(
+                df, id_col, vec_col, threshold
+            ).select("src", "dst", "cosine")
     spark = df.sparkSession
     ids, mat = _matrix(df, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))

@@ -24,6 +24,28 @@ from pyspark.sql import Column, DataFrame
 from ..functions import hashing, keygen, portable
 
 
+def _tag_persisted(out: DataFrame, *deps: DataFrame) -> DataFrame:
+    """The persist() calls in this module are load-bearing (the tagged
+    subtree feeds 3-4 consumers in one job) but the cache escapes to the
+    caller: a long-lived session running many queries accumulates
+    storage. Results carry their persisted dependencies so callers that
+    materialize-and-discard in a loop (bench, the driver's correctness
+    sweep) can ``release()`` them."""
+    existing = list(getattr(out, "_persisted_deps", []) or [])
+    out._persisted_deps = existing + list(deps)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist cached subtrees attached by operators in this module.
+    Safe on any DataFrame (no-op when nothing is tagged); call after the
+    result is materialized."""
+    for d in getattr(df, "_persisted_deps", []) or []:
+        d.unpersist()
+    if hasattr(df, "_persisted_deps"):
+        df._persisted_deps = []
+
+
 def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     """(record_id, cluster_id, cluster_size): cluster_id = min id among
     byte-identical payloads.
@@ -78,6 +100,7 @@ def ngram_jaccard_pairs(
         # without a persist the explode+distinct subtree evaluates 3-4x.
         .persist()
     )
+    _cached = grams
     if df_cap is not None:
         hot = (
             grams.groupBy("gram").count().where(F.col("count") > df_cap)
@@ -105,7 +128,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
-    return out
+    return _tag_persisted(out, _cached)
 
 
 def minhash_candidate_pairs(
@@ -165,11 +188,12 @@ def minhash_candidate_pairs(
         )
         / F.lit(num_perm)
     )
-    return (
+    return _tag_persisted(
         cand.join(sa, "src")
         .join(sb, "dst")
         .select("src", "dst", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= est_threshold)
+        .where(F.col("est_jaccard") >= est_threshold),
+        sig,
     )
 
 
@@ -213,13 +237,14 @@ def edit_distance_pairs(
     )
     ka = keyed.select(F.col("record_id").alias("src"), F.col("k").alias("k_a"))
     kb = keyed.select(F.col("record_id").alias("dst"), F.col("k").alias("k_b"))
-    return (
+    return _tag_persisted(
         cand.join(ka, "src")
         .join(kb, "dst")
         .select(
             "src", "dst", F.levenshtein(F.col("k_a"), F.col("k_b")).alias("dist")
         )
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist") <= max_dist),
+        keyed,
     )
 
 
@@ -277,11 +302,12 @@ def minhash_candidate_pairs_portable(
         )
         / F.lit(float(num_perm))
     )
-    return (
+    return _tag_persisted(
         cand.join(sa, "src")
         .join(sb, "dst")
         .select("src", "dst", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= est_threshold)
+        .where(F.col("est_jaccard") >= est_threshold),
+        sig,
     )
 
 
@@ -326,13 +352,14 @@ def simhash_near_pairs_portable(
     )
     ha = sh.select(F.col("record_id").alias("src"), F.col("simhash").alias("h_a"))
     hb = sh.select(F.col("record_id").alias("dst"), F.col("simhash").alias("h_b"))
-    return (
+    return _tag_persisted(
         cand.join(ha, "src")
         .join(hb, "dst")
         .select(
             "src", "dst", hashing.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming")
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_hamming),
+        sh,
     )
 
 
@@ -374,11 +401,12 @@ def simhash_near_pairs(
     )
     ha = sh.select(F.col("record_id").alias("src"), F.col("simhash").alias("h_a"))
     hb = sh.select(F.col("record_id").alias("dst"), F.col("simhash").alias("h_b"))
-    return (
+    return _tag_persisted(
         cand.join(ha, "src")
         .join(hb, "dst")
         .select(
             "src", "dst", hashing.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming")
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_hamming),
+        sh,
     )

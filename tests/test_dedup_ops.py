@@ -123,6 +123,59 @@ def test_lsh_topk_matches_brute_force_for_close_pairs(spark):
     assert hits >= 18  # high recall on planted twins
 
 
+def _walk_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_plan(ch.apply(i))
+
+
+def _bucket_join_outputs(df):
+    """Output (name, type) of every optimized-plan Join carrying the LSH
+    bucket key."""
+    found = []
+    for n in _walk_plan(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() == "Join":
+            o = n.output()
+            names = {
+                o.apply(i).name(): o.apply(i).dataType().simpleString()
+                for i in range(o.size())
+            }
+            if "bucket" in names:
+                found.append(names)
+    return found
+
+
+def test_lsh_candidate_shuffles_are_ids_only(spark, vecs):
+    """Scale shape (VERDICT r02 #3): the bucket equi-join must exchange
+    (id, bucket) rows only — embeddings re-join AFTER dropDuplicates, so
+    a vector never rides the shuffle once per band collision."""
+    out = ann.lsh_topk(vecs, vecs, dim=3, k=2, bands=4, bits=4)
+    joins = _bucket_join_outputs(out)
+    assert joins, "expected a bucket equi-join in the plan"
+    for names in joins:
+        assert not any(t.startswith("array") for t in names.values()), names
+
+    nd = ann.cosine_neardup_bucketed(vecs, dim=3, bands=4, bits=4)
+    joins = _bucket_join_outputs(nd)
+    assert joins
+    for names in joins:
+        assert not any(t.startswith("array") for t in names.values()), names
+
+
+def test_cosine_neardup_exact_flag(spark, vecs):
+    import warnings
+
+    # exact=False forces the bucketed plan even under the size bound
+    approx = ann.cosine_neardup_pairs(vecs, threshold=0.9, exact=False)
+    assert {(r["src"], r["dst"]) for r in approx.collect()} == {(0, 1), (2, 3)}
+    # adaptive degrade warns (ADVICE r02: no silent contract weakening)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ann.cosine_neardup_pairs(vecs, threshold=0.9, max_broadcast_rows=2)
+        assert any("degrading" in str(x.message) for x in w)
+
+
 def test_textstats_goldens(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog"), (2, "Der Hund ist nicht ein Katze der die"),

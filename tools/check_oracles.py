@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entry
+from ny_campaign_finance_dedupe_spark.operators import dedup as _dedup
 from ny_campaign_finance_dedupe_spark.session import get_spark
 
 TABLES = [
@@ -94,6 +95,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            _dedup.release(sdf)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
