@@ -7,8 +7,10 @@ and ``run_stats_only.py`` (recompute-from-entity_map) possible, plus the
 (campaign_finance_dedupe.py:473-481, schema data_load/pre_init_db.py:23).
 
 Here every stage writes:
-- its output table under ``<root>/<run_id>/<stage>/data`` (parquet in the
-  sandbox; Iceberg on a cluster — single seam in ``_write``),
+- its output table under ``<root>/<run_id>/<stage>/data`` through a
+  ``TableFormat`` (ParquetFormat default — hive-partitioned when the
+  stage has a partition spec; IcebergFormat for catalog-backed tables
+  on a cluster with the runtime jar),
 - a ``_SUCCESS``-gated marker with the stage params hash, so resume only
   reuses a checkpoint produced by an identical configuration,
 - per-partition lineage rows (partition_id, rows_out) + wall clock into
@@ -47,10 +49,94 @@ MATCH_RUNS_SCHEMA = T.StructType(
 )
 
 
+class TableFormat:
+    """The durable-table seam (reference analog: the Postgres DDL in
+    init_postgres_db.py:61-77,203-210 — blocking_map/entity_map as real
+    tables, not files). On a cluster this is Iceberg; in this sandbox
+    (no Iceberg runtime jar shipped with the pyspark build) the default
+    is hive-layout partitioned parquet, which demonstrates the two
+    features resume actually relies on — partition pruning on read and
+    atomic overwrite per stage — minus Iceberg's snapshot log."""
+
+    name = "abstract"
+
+    def write(self, df: DataFrame, target: str, partition_by=()) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetFormat(TableFormat):
+    """Default: overwrite-mode parquet, hive partition layout when
+    ``partition_by`` is given (so equality filters on the partition
+    column prune directories at planning time — asserted by
+    test_checkpoint_partition_pruning)."""
+
+    name = "parquet"
+
+    def write(self, df: DataFrame, target: str, partition_by=()) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.parquet(target)
+
+
+class IcebergFormat(TableFormat):
+    """Catalog-backed Iceberg tables. ``target`` is a table identifier
+    (``<catalog>.<namespace>.<name>``), not a path; requires a session
+    with the iceberg extension + a configured catalog
+    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog).
+    The runtime jar is absent from this environment, so construction
+    verifies the catalog is configured and fails fast otherwise — the
+    seam documents exactly what changes on a real cluster: write via
+    DataFrameWriterV2 (createOrReplace = atomic snapshot commit) and
+    read via the catalog (time travel / snapshot resume come free)."""
+
+    name = "iceberg"
+
+    def __init__(self, spark: SparkSession, catalog: str):
+        self.catalog = catalog
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not impl:
+            raise RuntimeError(
+                f"IcebergFormat: catalog '{catalog}' is not configured "
+                f"on this session (spark.sql.catalog.{catalog} unset). "
+                "Add the iceberg-spark-runtime jar and catalog conf, or "
+                "use ParquetFormat."
+            )
+
+    def _ident(self, target: str) -> str:
+        return f"{self.catalog}.{target}"
+
+    def write(self, df: DataFrame, target: str, partition_by=()) -> None:
+        w = df.writeTo(self._ident(target)).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.table(self._ident(target))
+
+
 class CheckpointStore:
-    def __init__(self, root: str, run_id: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        run_id: str | None = None,
+        table_format: TableFormat | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ):
         self.root = Path(root)
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.fmt = table_format or ParquetFormat()
+        # per-stage partition spec, e.g. {"extract": ["lang"]}: the
+        # language dimension is low-cardinality and the natural pruning
+        # axis for per-language reprocessing at Common-Crawl scale
+        self.partition_by = partition_by or {}
 
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> Path:
@@ -73,7 +159,7 @@ class CheckpointStore:
         return saved.get("params") == _canon(params)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return _spread(spark.read.parquet(self._data_path(stage)))
+        return _spread(self.fmt.read(spark, self._data_path(stage)))
 
     def write(
         self,
@@ -87,9 +173,11 @@ class CheckpointStore:
         checkpoint IS the stage boundary)."""
         spark = df.sparkSession
         t0 = time.time()
-        df.write.mode("overwrite").parquet(self._data_path(stage))
+        self.fmt.write(
+            df, self._data_path(stage), self.partition_by.get(stage, ())
+        )
         wall = time.time() - t0
-        out = _spread(spark.read.parquet(self._data_path(stage)))
+        out = _spread(self.fmt.read(spark, self._data_path(stage)))
         lineage = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))

@@ -77,3 +77,75 @@ def test_make_pyfiles_and_job_entrypoint(tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["rows"] == 400
     assert res["cluster_stats"]["total_records"] == 400
+
+
+# --- table-format seam ------------------------------------------------------
+
+def test_checkpoint_partition_pruning(spark, tmp_path):
+    """SURVEY §4 pruning claim, demonstrated (VERDICT r02 #5): a stage
+    written with a partition spec prunes partitions on an equality
+    filter at read time, and data-column predicates reach the parquet
+    scan as pushed filters."""
+    import pyspark.sql.functions as F
+
+    from ny_campaign_finance_dedupe_spark import synth
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(
+        str(tmp_path), run_id="prune", partition_by={"extract": ["lang"]}
+    )
+    pages, _ = synth.synth_pages(spark, n_pages=200, seed=3)
+    store.write(pages.select("url", "lang", "text"), "extract")
+
+    # hive layout on disk: one directory per language
+    data_dir = tmp_path / "prune" / "extract" / "data"
+    assert any(p.name.startswith("lang=") for p in data_dir.iterdir())
+
+    back = store.read(spark, "extract")
+    some_lang = back.select("lang").first()["lang"]
+    pruned = back.where(F.col("lang") == some_lang)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in pf and some_lang in pf
+
+    # a data-column predicate is pushed to the scan, not a partition filter
+    filtered = back.where(F.col("url") == "https://nosuch.example/")
+    plan2 = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan2
+    pushed = plan2.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "url" in pushed
+
+
+def test_iceberg_format_fails_fast_without_catalog(spark, tmp_path):
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import (
+        IcebergFormat,
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergFormat(spark, "nosuch_catalog")
+
+
+def test_checkpoint_resume_with_partitioned_stage(spark, tmp_path):
+    """Resume semantics are format-independent: a partitioned stage
+    written once is reused by has()+read() with identical rows."""
+    import pyspark.sql.functions as F
+
+    from ny_campaign_finance_dedupe_spark import synth
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(
+        str(tmp_path), run_id="resume", partition_by={"extract": ["lang"]}
+    )
+    pages, _ = synth.synth_pages(spark, n_pages=150, seed=5)
+    df = pages.select("url", "lang")
+    params = {"v": 1}
+    n0 = store.write(df, "extract", params=params).count()
+    assert store.has("extract", params)
+    assert not store.has("extract", {"v": 2})
+    assert store.read(spark, "extract").count() == n0

@@ -107,3 +107,67 @@ def test_string_variable_blends_cosine_and_lev(spark):
     )
     assert r["s1"] == pytest.approx(1.0)
     assert r["s2"] < 0.5
+
+
+def test_tfidf_vectorized_matches_reference_formula(spark):
+    """The vectorized TF-IDF kernel must equal the per-row definition:
+    cos = sum(idf(t)^2, t in A&B) / sqrt(sum_A idf^2 * sum_B idf^2)."""
+    import pyspark.sql.functions as F
+
+    from ny_campaign_finance_dedupe_spark.operators import scoring
+
+    idf = {"acme": 3.0, "corp": 1.2, "the": 1.01, "plumbing": 2.5}
+    default = 4.0
+
+    def ref(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        if not sa or not sb:
+            return 0.0
+        g = lambda t: idf.get(t, default)
+        num = sum(g(t) ** 2 for t in sa & sb)
+        return num / (
+            (sum(g(t) ** 2 for t in sa) * sum(g(t) ** 2 for t in sb)) ** 0.5
+        )
+
+    rows = [
+        ("acme corp", "acme corp"),
+        ("acme corp", "the acme plumbing corp"),
+        ("the the acme", "acme"),           # per-row token dedup
+        ("unseen tokens here", "unseen zz"),  # default idf path
+        ("", "acme"),
+        (None, "acme"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        scoring.tfidf_cosine_udf(idf, default)(F.col("a"), F.col("b")).alias(
+            "c"
+        )
+    ).collect()
+    for (a, b), r in zip(rows, got):
+        want = ref(a or "", b or "")
+        assert abs(r["c"] - want) < 1e-12, (a, b, r["c"], want)
+
+
+def test_jaro_winkler_vectorized_matches_scalar(spark):
+    import random
+
+    import pandas as pd
+
+    from ny_campaign_finance_dedupe_spark.operators.scoring import (
+        jaro_winkler_batch,
+        jaro_winkler_one,
+    )
+
+    rng = random.Random(99)
+    cases = [("", ""), ("a", "a"), ("a", "b"), ("martha", "marhta"),
+             ("dixon", "dicksonx"), ("ab", "ba")]
+    for _ in range(500):
+        cases.append(
+            ("".join(rng.choice("abcd ") for _ in range(rng.randint(0, 10))),
+             "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 10))))
+        )
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    got = jaro_winkler_batch(a, b)
+    for i, (s1, s2) in enumerate(cases):
+        assert abs(got[i] - jaro_winkler_one(s1, s2)) < 1e-12, (s1, s2)
