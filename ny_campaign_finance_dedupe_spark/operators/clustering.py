@@ -88,6 +88,10 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     import pandas as pd
 
     pdf = e.toPandas()
+    if len(pdf) == 0:  # np.unique on empty input yields float64 indices
+        return e.sparkSession.createDataFrame(
+            [], "record_id long, cluster_id long"
+        )
     src = pdf["src"].to_numpy()
     dst = pdf["dst"].to_numpy()
     ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)

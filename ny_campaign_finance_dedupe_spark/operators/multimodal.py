@@ -156,6 +156,15 @@ def _decode_real(payload: bytes, mime: str) -> np.ndarray:
     )
 
 
+DECODABLE_MIMES = frozenset(
+    {
+        "image/bmp", "image/x-ms-bmp",
+        "image/x-portable-pixmap", "image/x-portable-graymap",
+        "audio/wav", "audio/x-wav", "audio/wave",
+    }
+)
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic pseudo-features from payload bytes (sha256-seeded).
 
@@ -180,6 +189,12 @@ def extract_media_features(
 ) -> DataFrame:
     """Append ``features array<float>`` via mapInPandas (Arrow batches).
 
+    Routing (VERDICT r02 #8): mimes with a real pure-Python decoder
+    (``DECODABLE_MIMES``: BMP/PNM/WAV) ALWAYS go through ``_decode_real``
+    — real image/audio statistics; ``use_fake=True`` only governs the
+    rest (text/unknown mimes get the deterministic payload-stat fake the
+    oracle checks, instead of NotImplementedError).
+
     Null payloads yield null features (missing-data contract,
     datamodel.py:96-115). Output preserves all input columns — the pass
     is a narrow map, no shuffle.
@@ -194,6 +209,8 @@ def extract_media_features(
             for payload, mime in zip(pdf[payload_col], pdf[mime_col]):
                 if payload is None:
                     feats.append(None)
+                elif mime in DECODABLE_MIMES:
+                    feats.append(_decode_real(bytes(payload), mime).tolist())
                 elif use_fake:
                     feats.append(_fake_features(bytes(payload)).tolist())
                 else:

@@ -42,10 +42,14 @@ def _hac_cut(
     """Agglomerative clustering over a dense distance matrix, cut at
     ``max_dist``; returns a label per id (index into ids).
 
-    ``linkage``: 'average' (Lance-Williams size-weighted update — the
-    reference's fastcluster stand-in) or 'single' (min update; the cut
-    then equals connected components at distance <= max_dist, which is
-    what makes the hac_refine driver query oracle-checkable).
+    ``linkage``: 'average' (Lance-Williams size-weighted update),
+    'single' (min update; the cut then equals connected components at
+    distance <= max_dist, which is what makes the hac_refine driver
+    query oracle-checkable), or 'centroid' (the reference's exact
+    fastcluster method, clustering.py:217-218 — Lance-Williams centroid
+    coefficients applied on squared distances:
+    d(ij,k)^2 = (ni d(ik)^2 + nj d(jk)^2)/(ni+nj)
+                - ni nj d(ij)^2/(ni+nj)^2).
 
     Vectorized: the working distance matrix stays a dense (n, n) float64
     array; each merge is one argmin over the masked matrix + one row/col
@@ -76,6 +80,13 @@ def _hac_cut(
         i, j = int(sub[min(ai, bi)]), int(sub[max(ai, bi)])
         if linkage == "single":
             newrow = np.minimum(work[i], work[j])
+        elif linkage == "centroid":
+            ni, nj = float(sizes[i]), float(sizes[j])
+            tot = ni + nj
+            new2 = (ni * work[i] ** 2 + nj * work[j] ** 2) / tot - (
+                ni * nj * bd * bd
+            ) / (tot * tot)
+            newrow = np.sqrt(np.maximum(new2, 0.0))
         else:  # average (Lance-Williams, size-weighted)
             newrow = (sizes[i] * work[i] + sizes[j] * work[j]) / (
                 sizes[i] + sizes[j]

@@ -146,15 +146,18 @@ def train_logistic(
     l2: float = 0.1,
     lr: float = 0.5,
     epochs: int = 400,
+    features: list[str] | None = None,
 ) -> LogisticModel:
     """Fit L2-regularized logistic regression on a labeled feature frame
-    (columns FEATURES + ``label``). Driver-side numpy batch gradient
-    descent — the labeled set is small by design (the reference trains on
-    ~1500 actively-labeled pairs, api.py:1212-1250), so shipping it to the
-    driver is the right physical plan; alpha mirrors rlr's 0.1.
+    (columns ``features`` + ``label``; default FEATURES — the text-pair
+    family). Driver-side numpy batch gradient descent — the labeled set
+    is small by design (the reference trains on ~1500 actively-labeled
+    pairs, api.py:1212-1250), so shipping it to the driver is the right
+    physical plan; alpha mirrors rlr's 0.1.
     """
-    pdf = labeled.select(*FEATURES, "label").toPandas()
-    X = pdf[FEATURES].to_numpy(dtype=np.float64)
+    feats = list(features) if features is not None else FEATURES
+    pdf = labeled.select(*feats, "label").toPandas()
+    X = pdf[feats].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
     w = np.zeros(X.shape[1])
     b = 0.0
@@ -166,7 +169,7 @@ def train_logistic(
         w -= lr * ((X.T @ g) / n + l2 * w / n)
         b -= lr * g.mean()
     return LogisticModel(
-        weights={f: float(wi) for f, wi in zip(FEATURES, w)}, bias=float(b)
+        weights={f: float(wi) for f, wi in zip(feats, w)}, bias=float(b)
     )
 
 

@@ -471,3 +471,47 @@ def test_unsupported_mime_raises(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no pure-python"):
         multimodal.extract_media_features(df, use_fake=False).collect()
+
+
+def test_decodable_mimes_route_real_by_default(spark):
+    """VERDICT r02 #8: BMP/WAV payloads go through the REAL decoder even
+    under the default use_fake=True — the fake path only covers mimes
+    without a pure-Python decoder (here text/plain payload stats)."""
+    from ny_campaign_finance_dedupe_spark.operators import multimodal
+
+    bmp = _bmp_bytes(4, 2, lambda x, y: (255, 0, 0))
+    rows = [
+        ("b1", bmp, "image/bmp", None, None),
+        ("t1", b"hello world", "text/plain", None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_media_features(df).collect()
+    }
+    # real image stats: width, height, channels, then mean-R 255
+    assert out["b1"][0] == 4.0 and out["b1"][1] == 2.0
+    assert out["b1"][5] == 255.0
+    # fake payload stats (oracle contract) for the undecodable mime
+    assert out["t1"][0] == float(len(b"hello world"))
+    assert out["t1"][1] == 1.0  # one space byte
+
+
+def test_hac_centroid_reference_fixture(spark):
+    """linkage='centroid' is the reference's EXACT fastcluster method
+    (dedupe/clustering.py:217-218); the star fixture expectations are
+    the reference's test_hierarchical (test_dedupe.py:163-190)."""
+    from ny_campaign_finance_dedupe_spark.operators import refine
+
+    edges = _edges(spark, STAR_DUPES)
+    comp = clustering.connected_components(edges.select("src", "dst"))
+    for thr, expected in [
+        (0.5, {frozenset({1, 2, 3}), frozenset({4, 5}),
+               frozenset({10, 11})}),
+        (0.0, {frozenset({1, 2, 3, 4, 5}), frozenset({10, 11})}),
+        (1.0, set()),
+    ]:
+        out = refine.hac_refine(
+            edges, comp, threshold=thr, linkage="centroid"
+        ).collect()
+        assert _clusters(out) == expected, thr
