@@ -173,8 +173,8 @@ def train_logistic(
     )
 
 
-VARIABLE_TYPES = ("String", "Text", "Exact", "Price", "LatLong", "Set",
-                  "Categorical", "Exists")
+VARIABLE_TYPES = ("String", "ShortString", "Text", "Exact", "Price",
+                  "LatLong", "Set", "Categorical", "Exists")
 
 
 def variable_features(
@@ -221,6 +221,10 @@ def variable_features(
 
             default = max(idf.values()) if idf else math.log(2.0) + 1.0
             expr = tfidf_cosine_udf(idf, default)(a, b)
+        elif t == "ShortString":
+            # the reference ShortString comparator exactly: normalized
+            # affine-gap distance (variables/string.py:45-66)
+            expr = affine_gap_udf()(a, b)
         elif t in ("String", "Text"):
             cols = feature_columns(a, b)
             expr = (cols["f_cosine"] + cols["f_lev"]) / 2.0
@@ -497,6 +501,108 @@ def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     out[(a.fillna("") == b.fillna("")).to_numpy()] = 1.0
     out[(l1 == 0) | (l2 == 0)] = 0.0
     return out
+
+
+def affine_gap_batch(
+    a: pd.Series,
+    b: pd.Series,
+    match: float = 1.0,
+    mismatch: float = 11.0,
+    gap_open: float = 10.0,
+    gap_extend: float = 7.0,
+) -> np.ndarray:
+    """Normalized affine-gap edit distance over a batch of string pairs
+    — the reference String comparator's actual distance
+    (variables/string.py:4,66: affinegap.normalizedAffineGapDistance;
+    default weights per that library's published interface). Gotoh
+    three-state DP (match/mismatch, gap-in-a, gap-in-b with separate
+    open/extend costs), normalized by mean length so two identical
+    strings score exactly ``match`` and distances grow from there.
+
+    Vectorized across ROWS: the DP loops over character positions
+    (L1 x L2 iterations bounded by the longest strings in the batch),
+    but every cell update is a whole-batch numpy operation. Use on
+    short fields (names, address lines) like the reference does.
+    """
+    s1 = a.fillna("").to_numpy(dtype=object)
+    s2 = b.fillna("").to_numpy(dtype=object)
+    n = len(s1)
+    if n == 0:
+        return np.zeros(0)
+    l1 = np.fromiter((len(x) for x in s1), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(x) for x in s2), dtype=np.int64, count=n)
+    L1 = int(l1.max(initial=0))
+    L2 = int(l2.max(initial=0))
+    INF = np.inf
+    c1 = np.zeros((n, max(L1, 1)), dtype=np.int64)
+    c2 = np.zeros((n, max(L2, 1)), dtype=np.int64)
+    for i, s in enumerate(s1):
+        if s:
+            c1[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for i, s in enumerate(s2):
+        if s:
+            c2[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    # current-row DP state, shape (n, L2+1); *fin buffers capture the
+    # row i == l1[r] for each batch row r (strings end at different i)
+    J = np.arange(L2 + 1)
+    M = np.full((n, L2 + 1), INF)
+    X = np.full((n, L2 + 1), INF)
+    Y = np.full((n, L2 + 1), INF)
+    M[:, 0] = 0.0
+    X[:, 1:] = gap_open + gap_extend * J[1:]
+    Mfin = np.full((n, L2 + 1), INF)
+    Xfin = np.full((n, L2 + 1), INF)
+    Yfin = np.full((n, L2 + 1), INF)
+    done = l1 == 0
+    Mfin[done] = M[done]
+    Xfin[done] = X[done]
+    Yfin[done] = Y[done]
+    for i in range(1, L1 + 1):
+        pM, pX, pY = M, X, Y
+        M = np.full((n, L2 + 1), INF)
+        X = np.full((n, L2 + 1), INF)
+        Y = np.full((n, L2 + 1), INF)
+        best_prev = np.minimum(np.minimum(pM, pX), pY)
+        Y[:, 0] = np.minimum(
+            pM[:, 0] + gap_open + gap_extend, pY[:, 0] + gap_extend
+        )
+        ci = c1[:, i - 1]
+        for j in range(1, L2 + 1):
+            sub = np.where(ci == c2[:, j - 1], match, mismatch)
+            M[:, j] = sub + best_prev[:, j - 1]
+            X[:, j] = np.minimum(
+                M[:, j - 1] + gap_open + gap_extend, X[:, j - 1] + gap_extend
+            )
+            Y[:, j] = np.minimum(
+                pM[:, j] + gap_open + gap_extend, pY[:, j] + gap_extend
+            )
+        now = l1 == i
+        if now.any():
+            Mfin[now] = M[now]
+            Xfin[now] = X[now]
+            Yfin[now] = Y[now]
+    r = np.arange(n)
+    dist = np.minimum(
+        np.minimum(Mfin[r, l2], Xfin[r, l2]), Yfin[r, l2]
+    )
+    denom = np.maximum((l1 + l2) / 2.0, 1.0)
+    out = np.where(np.isfinite(dist), dist, 0.0) / denom
+    out[(l1 == 0) & (l2 == 0)] = 0.0
+    return out
+
+
+def affine_gap_udf(**weights):
+    """Arrow-batched pandas UDF over ``affine_gap_batch``."""
+
+    def batch(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(affine_gap_batch(a, b, **weights), dtype="float64")
+
+    return F.pandas_udf(batch, T.DoubleType())
 
 
 def jaro_winkler_udf():

@@ -196,6 +196,92 @@ def select_predicates(
     return chosen
 
 
+def branch_bound_predicates(
+    cover: DataFrame,
+    costs: DataFrame,
+    recall: float = 0.90,
+    max_calls: int = 5_000,
+) -> list[str]:
+    """T7 as the reference's actual optimization (training.py:229-321):
+    MINIMIZE total estimated comparisons subject to covering
+    >= recall * |true pairs|, by depth-first branch and bound over the
+    (predicate, covered-pair-set) relation.
+
+    Search shape: at each node, prune candidates whose cost alone
+    exceeds the remaining budget (incumbent cost - partial cost), give
+    up the branch when even the union of all remaining candidates can't
+    reach the target, branch on the candidate with (max new coverage,
+    min cost), and explore include-it / exclude-it (after dropping
+    predicates the branching one dominates: >= cost and covering a
+    subset). The greedy solution seeds the incumbent, so pruning starts
+    tight. ``max_calls`` bounds the node count — on exhaustion the best
+    incumbent so far is returned (greedy or better, never worse).
+
+    Driver-side: the search space is #predicates wide, not #records.
+    """
+    rows = cover.collect()
+    cost_map = {
+        r["predicate"]: max(float(r["est_comparisons"]), 1.0)
+        for r in costs.collect()
+    }
+    by_pred: dict[str, frozenset] = {}
+    universe: set = set()
+    for r in rows:
+        p = (r["src"], r["dst"])
+        by_pred.setdefault(r["predicate"], set()).add(p)
+        universe.add(p)
+    by_pred = {k: frozenset(v) for k, v in by_pred.items()}
+    target = recall * len(universe)
+
+    greedy = select_predicates(cover, costs, recall)
+    best = list(greedy)
+    best_cost = sum(cost_map.get(p, 1.0) for p in greedy)
+    calls = max_calls
+
+    def search(cands: dict[str, frozenset], chosen: list[str],
+               covered: frozenset, cost: float) -> None:
+        nonlocal best, best_cost, calls
+        if calls <= 0:
+            return
+        calls -= 1
+        if len(covered) >= target:
+            if cost < best_cost:
+                best, best_cost = list(chosen), cost
+            return
+        budget = best_cost - cost
+        cands = {
+            p: cv - covered
+            for p, cv in cands.items()
+            if cost_map.get(p, 1.0) < budget and cv - covered
+        }
+        if not cands:
+            return
+        reachable = len(covered | frozenset().union(*cands.values()))
+        if reachable < target:
+            return
+        pick = max(
+            cands, key=lambda p: (len(cands[p]), -cost_map.get(p, 1.0))
+        )
+        # include branch
+        search(
+            {p: cv for p, cv in cands.items() if p != pick},
+            chosen + [pick],
+            covered | cands[pick],
+            cost + cost_map.get(pick, 1.0),
+        )
+        # exclude branch: anything pick dominates can't help either
+        pc, pcv = cost_map.get(pick, 1.0), cands[pick]
+        reduced = {
+            p: cv
+            for p, cv in cands.items()
+            if p != pick and not (pc <= cost_map.get(p, 1.0) and cv <= pcv)
+        }
+        search(reduced, chosen, covered, cost)
+
+    search(dict(by_pred), [], frozenset(), 0.0)
+    return best
+
+
 def blocked_pair_sample(
     blocking_map: DataFrame, n_per_key: int = 2, seed: int = 42
 ) -> DataFrame:

@@ -194,3 +194,48 @@ def test_hac_refine_skips_giant_components(spark, monkeypatch):
     }
     # 4 > limit 3: untouched min-label clustering
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_branch_bound_beats_greedy_cover(spark):
+    """T7 (reference training.py:229-321): branch & bound minimizes
+    TOTAL cost under the recall constraint; greedy's best-ratio-first
+    order is suboptimal on this fixture and B&B must beat it."""
+    cover = spark.createDataFrame(
+        [("X", str(i), str(i)) for i in (1, 2, 3, 4)]
+        + [("Y", str(i), str(i)) for i in (1, 2, 3)]
+        + [("Z", str(i), str(i)) for i in (4, 5, 6)]
+        + [("W", str(i), str(i)) for i in (5, 6)],
+        "predicate string, src string, dst string",
+    )
+    costs = spark.createDataFrame(
+        [("X", 2.0), ("Y", 1.0), ("Z", 2.0), ("W", 1.0)],
+        "predicate string, est_comparisons double",
+    )
+    greedy = training.select_predicates(cover, costs, recall=1.0)
+    bb = training.branch_bound_predicates(cover, costs, recall=1.0)
+    cost = lambda ps: sum({"X": 2.0, "Y": 1.0, "Z": 2.0, "W": 1.0}[p]
+                          for p in ps)
+    # greedy picks best-ratio Y first and needs 3 predicates (cost 4);
+    # the optimum is {X, W} at cost 3
+    assert cost(greedy) == 4.0, greedy
+    assert sorted(bb) == ["W", "X"], bb
+    assert cost(bb) == 3.0
+
+
+def test_branch_bound_respects_recall_and_call_budget(spark):
+    cover = spark.createDataFrame(
+        [("A", "1", "1"), ("A", "2", "2"), ("B", "3", "3")],
+        "predicate string, src string, dst string",
+    )
+    costs = spark.createDataFrame(
+        [("A", 5.0), ("B", 1.0)],
+        "predicate string, est_comparisons double",
+    )
+    # recall 0.6 of 3 pairs -> 2 covered pairs suffice -> {A} alone
+    bb = training.branch_bound_predicates(cover, costs, recall=0.6)
+    assert bb == ["A"]
+    # exhausted call budget still returns a valid (greedy) cover
+    bb0 = training.branch_bound_predicates(
+        cover, costs, recall=1.0, max_calls=0
+    )
+    assert set(bb0) == {"A", "B"}

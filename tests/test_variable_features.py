@@ -171,3 +171,69 @@ def test_jaro_winkler_vectorized_matches_scalar(spark):
     got = jaro_winkler_batch(a, b)
     for i, (s1, s2) in enumerate(cases):
         assert abs(got[i] - jaro_winkler_one(s1, s2)) < 1e-12, (s1, s2)
+
+
+def _affine_gap_scalar(s1, s2, match=1.0, mismatch=11.0, go=10.0, ge=7.0):
+    import math
+
+    l1, l2 = len(s1), len(s2)
+    INF = math.inf
+    M = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+    X = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+    Y = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+    M[0][0] = 0.0
+    for j in range(1, l2 + 1):
+        X[0][j] = go + ge * j
+    for i in range(1, l1 + 1):
+        Y[i][0] = go + ge * i
+    for i in range(1, l1 + 1):
+        for j in range(1, l2 + 1):
+            sub = match if s1[i - 1] == s2[j - 1] else mismatch
+            M[i][j] = sub + min(M[i-1][j-1], X[i-1][j-1], Y[i-1][j-1])
+            X[i][j] = min(M[i][j-1] + go + ge, X[i][j-1] + ge)
+            Y[i][j] = min(M[i-1][j] + go + ge, Y[i-1][j] + ge)
+    d = min(M[l1][l2], X[l1][l2], Y[l1][l2])
+    if not (l1 or l2):
+        return 0.0
+    return (0.0 if d == INF else d) / max((l1 + l2) / 2.0, 1.0)
+
+
+def test_affine_gap_batch_matches_scalar_dp():
+    import random
+
+    import pandas as pd
+
+    from ny_campaign_finance_dedupe_spark.operators.scoring import (
+        affine_gap_batch,
+    )
+
+    rng = random.Random(17)
+    cases = [("", ""), ("a", ""), ("", "ab"), ("abc", "abc"),
+             ("abcd", "abxd"), ("abcd", "abd"), ("acme corp", "acme corporation")]
+    for _ in range(400):
+        cases.append(
+            ("".join(rng.choice("abcd ") for _ in range(rng.randint(0, 9))),
+             "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 9))))
+        )
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    got = affine_gap_batch(a, b)
+    for i, (s1, s2) in enumerate(cases):
+        want = _affine_gap_scalar(s1, s2)
+        assert abs(got[i] - want) < 1e-9, (s1, s2, got[i], want)
+    # identical strings normalize to exactly the match weight
+    assert got[3] == 1.0
+
+
+def test_short_string_variable_uses_affine_gap(spark):
+    r = _feat(
+        spark,
+        [("acme corp", "acme corp", "acme corp", "zzz")],
+        "s1_a string, s1_b string, s2_a string, s2_b string",
+        [
+            {"field": "s1", "type": "ShortString"},
+            {"field": "s2", "type": "ShortString"},
+        ],
+    )
+    assert r["s1"] == pytest.approx(1.0)  # identical -> match weight
+    assert r["s2"] > r["s1"]  # distance grows with dissimilarity
