@@ -307,7 +307,14 @@ def soundex_code(col: Column | str) -> Column:
 def phonetic(col: Column | str) -> Column:
     """doubleMetaphone-analog (predicates.py:476-479): phonetic code of
     the whole field (see ``soundex_code``) — same role as the reference's
-    phonetic canopy, engine-portable, no UDF."""
+    phonetic canopy, engine-portable, no UDF.
+
+    For metaphone-compatible codes (the reference's exact blocking
+    family), use ``functions.metaphone.double_metaphone_keys`` /
+    ``metaphone_token_keys`` — a real Double Metaphone, Arrow-batched,
+    pinned against the reference's own predicate test vectors. This
+    soundex stays as the zero-UDF, DuckDB-twinned family for the
+    oracle-checked ``phonetic_keys`` query."""
     code = soundex_code(col)
     return F.when(code.isNull(), F.array().cast("array<string>")).otherwise(
         F.array(code)

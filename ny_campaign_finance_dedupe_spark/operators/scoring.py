@@ -192,9 +192,9 @@ def variable_features(
     | Price | abs(log10(a) - log10(b)), NaN->0 for non-positive | variables/price.py:6-19 |
     | LatLong | sqrt(haversine km) | variables/latlong.py:8-15 |
     | Set | array cosine overlap | variables/set.py:6-27 |
-    | Categorical | one 0/1 column per observed category pair is the
-      reference's dummy expansion; here: equality + per-category match
-      columns for listed categories | variables/categorical_type.py:6-34 |
+    | Categorical | full dummy expansion: one 0/1 column per outcome
+      (identity match per category + unordered cross pair), first
+      outcome dropped as baseline | variables/categorical_type.py:6-34 |
     | Exists | both-present / one-present indicators | variables/exists.py:8-35 |
 
     Entries: {"field": name, "type": t, "has missing": bool,
@@ -257,11 +257,35 @@ def variable_features(
                 F.size(a).cast("double") * F.size(b).cast("double")
             )
         elif t == "Categorical":
-            expr = (a == b).cast("double")
-            for cat in var.get("categories", []):
-                out[f"{f}_is_{cat}"] = (
-                    present & (a == cat) & (b == cat)
-                ).cast("double")
+            # The reference's FULL dummy expansion
+            # (variables/categorical_type.py:6-34 via the public
+            # categorical-distance comparator): outcomes are k identity
+            # matches over sorted categories plus C(k,2) unordered cross
+            # pairs; the first outcome (both == first category) is the
+            # dropped dummy-coding baseline, every other outcome gets
+            # its own 0/1 column. No base feature column — the
+            # comparator contributes only its higher_vars, exactly
+            # len(outcomes) - 1 of them.
+            cats = sorted(set(var.get("categories", [])))
+            if not cats:
+                raise ValueError(f'Categorical "{f}": no "categories"')
+            outcomes: list[tuple] = [(c,) for c in cats] + list(
+                itertools.combinations(cats, 2)
+            )
+            for outcome in outcomes[1:]:
+                if len(outcome) == 1:
+                    cond = present & (a == outcome[0]) & (b == outcome[0])
+                    name = f"{f}_is_{outcome[0]}"
+                else:
+                    c1, c2 = outcome
+                    cond = present & (
+                        ((a == c1) & (b == c2)) | ((a == c2) & (b == c1))
+                    )
+                    name = f"{f}_is_{c1}_{c2}"
+                out[name] = cond.cast("double")
+            if var.get("has missing"):
+                out[f"{f}_missing"] = (~present).cast("double")
+            continue
         elif t == "Exists":
             out[f"{f}_both"] = present.cast("double")
             out[f"{f}_one"] = (

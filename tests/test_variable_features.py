@@ -60,9 +60,32 @@ def test_set_and_categorical(spark):
         ],
     )
     assert r["tags"] == pytest.approx(0.5)  # 1 / sqrt(2*2)
-    assert r["typ"] == 1.0
+    # full dummy expansion over sorted cats [CORP, IND]: outcomes are
+    # (CORP,) [baseline, dropped], (IND,), (CORP, IND)
+    assert "typ" not in r
+    assert "typ_is_CORP" not in r  # baseline outcome carries no column
     assert r["typ_is_IND"] == 1.0
-    assert r["typ_is_CORP"] == 0.0
+    assert r["typ_is_CORP_IND"] == 0.0
+
+
+def test_categorical_full_dummy_expansion(spark):
+    """Reference semantics (categorical_type.py:6-34 / the public
+    categorical-distance comparator): k identity outcomes + C(k,2)
+    unordered cross-pair outcomes, first outcome dropped as baseline →
+    exactly k + C(k,2) - 1 columns, one hot per pair."""
+    spec = [{"field": "t", "type": "Categorical",
+             "categories": ["IND", "CORP", "PAC"]}]
+    cols = scoring.variable_features(spec)
+    # sorted cats [CORP, IND, PAC]: baseline (CORP,) dropped; 3+3-1=5
+    assert sorted(cols) == [
+        "t_is_CORP_IND", "t_is_CORP_PAC", "t_is_IND", "t_is_IND_PAC",
+        "t_is_PAC",
+    ]
+    r = _feat(spark, [("PAC", "IND")], "t_a string, t_b string", spec)
+    assert r["t_is_IND_PAC"] == 1.0  # unordered: (PAC, IND) = (IND, PAC)
+    assert r["t_is_IND"] == 0.0 and r["t_is_PAC"] == 0.0
+    r2 = _feat(spark, [("CORP", "CORP")], "t_a string, t_b string", spec)
+    assert all(r2[c] == 0.0 for c in cols)  # baseline: all dummies zero
 
 
 def test_missing_indicator_and_exists(spark):
