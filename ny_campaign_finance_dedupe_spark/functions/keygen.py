@@ -27,6 +27,37 @@ def _empty_if_null(col: Column, keys: Column) -> Column:
     return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(keys)
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once per row and hand it to ``fn`` as a bound
+    lambda variable.
+
+    Higher-order lambdas re-evaluate every captured subtree once PER
+    ELEMENT (ArrayTransform.eval runs the whole function subtree for
+    each element, and there is no subexpression elimination inside a
+    lambda), so a transform(sequence(...), i -> f(split(text), i)) walk
+    re-runs the regex split once per output element — O(n^2) in the
+    gram count. Measured on the minhash shingle chain: ~3 s/5k docs
+    inline vs ~0.2 s bound. Wrapping the expensive expression in a
+    one-element array and transforming over it makes it a
+    NamedLambdaVariable: evaluated once, O(1) to reference.
+
+    CONSTRAINT — never let a _bind expression reach a pandas-UDF
+    argument: when ``fn``'s body holds an inner lambda that captures
+    the bound variable (a nested-capture lambda), Spark 4.1.2's
+    ExtractPythonUDFs declines to extract any pandas UDF whose
+    argument contains it *if the plan sits above another Python-eval
+    node* (MapInPandas / ArrowEvalPython upstream), and execution dies
+    with INTERNAL_ERROR "Cannot evaluate expression: <udf>(...)".
+    Verified minimally: transform(array(split(t)), w ->
+    transform(seq, i -> get(w, i))) inside a UDF arg fails over a
+    mapInPandas child and succeeds over a plain scan; the same shape
+    with no inner capture extracts fine. Functions that feed UDF args
+    (word_ngrams, char_ngrams -> shingle_hashes -> minhash/simhash
+    UDFs) therefore use the capture-free zip_with shape (_ngram_zip);
+    _bind is reserved for native-only blocking paths."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def whole_field(col: Column | str) -> Column:
     """predicates.py:345-350 — the whole value as one key."""
     c = _c(col)
@@ -115,29 +146,51 @@ def alpha_numeric(col: Column | str) -> Column:
     )
 
 
+def _ngram_zip(tokens: Column, m: Column, n: int, sep: str) -> Column:
+    """n-gram walk as a zip_with chain: gram_i = sep-join of
+    tokens[i..i+n-1], built by zipping the n shifted length-m slices of
+    ``tokens`` elementwise.
+
+    Why this shape and not transform(sequence(...), i -> slice(tokens,
+    i+1, n)): (a) ``tokens`` appears only in CHILD position (the slice
+    args), so the expensive split/regex producing it evaluates once per
+    ROW, not once per gram — same win as _bind without the nested
+    lambda; (b) the zip lambdas capture nothing from an enclosing
+    lambda scope, which keeps the expression legal inside a pandas-UDF
+    argument (see the _bind docstring: a nested capture there breaks
+    ExtractPythonUDFs whenever the plan sits above another Python-eval
+    node). Callers guard m > 0."""
+    slices = [F.slice(tokens, k + 1, m) for k in range(n)]
+    g = slices[0]
+    for s in slices[1:]:
+        g = F.zip_with(g, s, lambda x, y: F.concat_ws(sep, x, y))
+    return g
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """commonTwoTokens/commonThreeTokens (predicates.py:404-418) and the
-    shingle source for MinHash — contiguous word n-grams, native via
-    transform(sequence(...)) so it stays in codegen."""
+    shingle source for MinHash — contiguous word n-grams, native via a
+    zip_with chain over the split-once token array (see _ngram_zip:
+    split evaluates per row, not per gram, and the expression stays
+    extraction-safe inside pandas-UDF arguments)."""
     c = _c(col)
     words = F.split(c, r"\s+")
     m = F.size(words) - (n - 1)
     grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+        _ngram_zip(words, m, n, " ")
     )
     return _empty_if_null(c, F.array_distinct(grams))
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
     """cpredicates.pyx:3-24 / commonFourGram (predicates.py:437-444) —
-    contiguous char n-grams with spaces removed, native substring walk."""
-    c = F.regexp_replace(_c(col), r"\s", "")
-    m = F.length(c) - (n - 1)
+    contiguous char n-grams with spaces removed. Same zip_with shape as
+    word_ngrams (the whitespace-strip regex evaluates once per row)."""
+    stripped = F.regexp_replace(_c(col), r"\s", "")
+    chars = F.split(stripped, "")
+    m = F.length(stripped) - (n - 1)
     grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(c, i, F.lit(n)))
+        _ngram_zip(chars, m, n, "")
     )
     return _empty_if_null(_c(col), F.array_distinct(grams))
 
@@ -171,11 +224,15 @@ def suffix_array(col: Column | str, min_len: int = 5) -> Column:
     """suffixArray (predicates.py:462-469) — all suffixes of length >=
     ``min_len`` (on the first 100 chars, bounding fan-out like the
     reference bounds comparator cost); native substring walk."""
-    c = F.substring(_c(col), 1, 100)
-    m = F.length(c) - (min_len - 1)
-    sufs = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(c, i, F.lit(100)))
-    )
+    def sufs_of(c):
+        m = F.length(c) - (min_len - 1)
+        return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m), lambda i: F.substring(c, i, F.lit(100))
+            )
+        )
+
+    sufs = _bind(F.substring(_c(col), 1, 100), sufs_of)
     return _empty_if_null(_c(col), F.array_distinct(sufs))
 
 
@@ -183,14 +240,17 @@ def one_gram_fingerprint(col: Column | str) -> Column:
     """oneGramFingerprint (predicates.py:425-430) — sorted unique chars,
     spaces removed, joined."""
     c = F.regexp_replace(_c(col), r"\s", "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
-        lambda i: F.substring(c, i, 1),
-    )
-    fp = F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+
+    def fp_of(s):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.substring(s, i, 1),
+        )
+        return F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+
     return F.when(
         _c(col).isNull() | (F.length(c) == 0), F.array().cast("array<string>")
-    ).otherwise(F.array(fp))
+    ).otherwise(F.array(_bind(c, fp_of)))
 
 
 def two_gram_fingerprint(col: Column | str) -> Column:
@@ -198,13 +258,17 @@ def two_gram_fingerprint(col: Column | str) -> Column:
     2-grams joined; empty for strings shorter than 2."""
     c = F.regexp_replace(_c(col), r"\s", "")
     m = F.length(c) - 1
-    grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), lambda i: F.substring(c, i, 2))
-    )
-    fp = F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+
+    def fp_of(s):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1))),
+            lambda i: F.substring(s, i, 2),
+        )
+        return F.concat_ws("", F.array_sort(F.array_distinct(grams)))
+
     return F.when(
         _c(col).isNull() | (m <= 0), F.array().cast("array<string>")
-    ).otherwise(F.array(fp))
+    ).otherwise(F.array(_bind(c, fp_of)))
 
 
 def hundred_integers(col: Column | str) -> Column:
@@ -282,26 +346,37 @@ def soundex_code(col: Column | str) -> Column:
     aggregate fold); deviation from true soundex: no H/W-transparency
     rule — documented, mirrored exactly by the DuckDB oracle."""
     c = _c(col)
-    letters = F.regexp_replace(F.upper(c), "[^A-Z]+", "")
-    digits = F.translate(letters, SOUNDEX_FROM, SOUNDEX_TO)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(digits), F.lit(1))),
-        lambda i: F.substring(digits, i, F.lit(1)),
-    )
-    collapsed = F.aggregate(
-        chars,
-        F.lit(""),
-        lambda acc, x: F.when(F.substring(acc, -1, 1) == x, acc).otherwise(
-            F.concat(acc, x)
-        ),
-    )
-    rest = F.regexp_replace(F.substring(collapsed, 2, 1000), "0", "")
-    code = F.concat(
-        F.substring(letters, 1, 1), F.rpad(F.substring(rest, 1, 3), 3, "0")
-    )
-    return F.when(c.isNull() | (F.length(letters) == 0), F.lit(None)).otherwise(
-        code
-    )
+
+    def code_of(letters):
+        def from_digits(digits):
+            chars = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(digits), F.lit(1))),
+                lambda i: F.substring(digits, i, F.lit(1)),
+            )
+            collapsed = F.aggregate(
+                chars,
+                F.lit(""),
+                lambda acc, x: F.when(
+                    F.substring(acc, -1, 1) == x, acc
+                ).otherwise(F.concat(acc, x)),
+            )
+            rest = F.regexp_replace(F.substring(collapsed, 2, 1000), "0", "")
+            return F.concat(
+                F.substring(letters, 1, 1),
+                F.rpad(F.substring(rest, 1, 3), 3, "0"),
+            )
+
+        # letters and digits each bound once per row (_bind): captured
+        # inline, the upper+regex+translate chain would re-run once per
+        # character inside the transform/aggregate lambdas
+        return _bind(
+            F.translate(letters, SOUNDEX_FROM, SOUNDEX_TO), from_digits
+        )
+
+    letters_expr = F.regexp_replace(F.upper(c), "[^A-Z]+", "")
+    return F.when(
+        c.isNull() | (F.length(letters_expr) == 0), F.lit(None)
+    ).otherwise(_bind(letters_expr, code_of))
 
 
 def phonetic(col: Column | str) -> Column:
@@ -435,22 +510,26 @@ def deletion_variants(col: Column | str, key_len: int = 12) -> Column:
     exact-levenshtein filter has total recall at distance 1 — the
     shared-nothing replacement for the reference's driver-side
     Levenshtein ball tree. Linear fan-out: key_len+1 keys per record."""
-    c = F.substring(_c(col), 1, key_len)
-    n = F.length(c)
-    # n == 1 emits the empty-string deletion so two distinct single-char
-    # keys (distance 1 via substitution) still co-block; the "" block is
-    # bounded by the alphabet size, so the fan-out stays linear
-    dels = F.when(n <= 1, F.array(F.lit(""))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat(
-                F.substring(c, 1, i - 1), c.substr(i + 1, F.lit(key_len))
-            ),
+    def keys_of(c):
+        n = F.length(c)
+        # n == 1 emits the empty-string deletion so two distinct
+        # single-char keys (distance 1 via substitution) still co-block;
+        # the "" block is bounded by the alphabet size, so the fan-out
+        # stays linear
+        dels = F.when(n <= 1, F.array(F.lit(""))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.substring(c, 1, i - 1), c.substr(i + 1, F.lit(key_len))
+                ),
+            )
         )
-    )
-    keys = F.array_distinct(F.concat(F.array(c), dels))
+        return F.array_distinct(F.concat(F.array(c), dels))
+
+    keys = _bind(F.substring(_c(col), 1, key_len), keys_of)
     return F.when(
-        _c(col).isNull() | (n == 0), F.array().cast("array<string>")
+        _c(col).isNull() | (F.length(_c(col)) == 0),
+        F.array().cast("array<string>"),
     ).otherwise(keys)
 
 

@@ -101,3 +101,31 @@ def test_typo_variants(spark):
     assert "ehllo" in got          # transposition of chars 1-2
     assert "helol" in got          # transposition of chars 4-5
     assert keys(spark, keygen.typo_variants, None) == set()
+
+
+def test_ngram_exprs_are_udf_arg_safe_over_python_source(spark):
+    """Regression: Spark 4.1.2's ExtractPythonUDFs declines to extract a
+    pandas UDF whose argument contains a nested-capture lambda when the
+    plan sits above another Python-eval node (mapInPandas upstream), and
+    the job dies with INTERNAL_ERROR 'Cannot evaluate expression'. The
+    shingle chain (word_ngrams -> shingle_hashes -> minhash/simhash UDF)
+    is exactly that shape, and synth_pages/foreachBatch put a Python node
+    upstream — so word_ngrams/char_ngrams must stay capture-free
+    (keygen._ngram_zip), not use keygen._bind."""
+    from ny_campaign_finance_dedupe_spark.functions import hashing
+
+    base = spark.createDataFrame(
+        [("a b c d e f g",), ("hello world hello again and again",)], "t string"
+    )
+    mapped = base.mapInPandas(lambda it: it, schema="t string")
+    fused = hashing.minhash_simhash_udf(8)(
+        hashing.shingle_hashes(keygen.word_ngrams(F.col("t"), 3))
+    )
+    rows = mapped.select(fused.alias("s")).collect()
+    assert len(rows) == 2 and all(len(r["s"]["sig"]) == 8 for r in rows)
+    # char_ngrams through a scalar-iter UDF over the same Python source
+    sig = hashing.minhash_signature_udf(8)(
+        hashing.shingle_hashes(keygen.char_ngrams(F.col("t"), 4))
+    )
+    rows = mapped.select(sig.alias("s")).collect()
+    assert len(rows) == 2 and all(len(r["s"]) == 8 for r in rows)
