@@ -58,14 +58,19 @@ def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     the join; the old ``collect_list`` materialized it in one task.
     """
     key = F.sha2(F.col(payload).cast("string"), 256)
-    keyed = df.select(F.col(id_col).alias("record_id"), key.alias("k"))
+    # persist the (id, hash) projection: both the agg and the join probe
+    # consume it, and without the cache each side re-reads the payload
+    # and re-hashes it — at Common-Crawl scale that is two full scans of
+    # the text column for one 40-byte-per-row intermediate
+    keyed = df.select(F.col(id_col).alias("record_id"), key.alias("k")).persist()
     agg = keyed.groupBy("k").agg(
         F.min("record_id").alias("cluster_id"),
         F.count("*").alias("cluster_size"),
     )
-    return keyed.join(agg, "k").select(
+    out = keyed.join(agg, "k").select(
         "record_id", "cluster_id", "cluster_size"
     )
+    return _tag_persisted(out, keyed)
 
 
 def default_df_cap(n_docs: int) -> int:
