@@ -492,6 +492,26 @@ def q_phonetic_keys(spark, sf_dir):
     ).orderBy("record_id")
 
 
+def q_metaphone_keys(spark, sf_dir):
+    """The reference's exact phonetic blocking family —
+    predicates.doubleMetaphone (dedupe/predicates.py:476-479) — via the
+    genuine Double Metaphone reimplementation (functions/metaphone.py,
+    Arrow-batched). The algorithm is a 500-line branching state machine
+    with no ANSI-SQL equivalent, so this entry is rows-only by design;
+    values are pinned by the ported reference vectors in
+    tests/test_metaphone.py."""
+    from ny_campaign_finance_dedupe_spark.functions import metaphone
+
+    docs = _t(spark, sf_dir, "documents")
+    first_word = F.regexp_extract(F.col("text"), r"^([\w']+)", 1)
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.concat_ws(
+            "|", metaphone.double_metaphone_keys(first_word)
+        ).alias("metaphone_key"),
+    ).orderBy("record_id")
+
+
 def _portable_cfg() -> "PipelineConfig":
     """The correctness-gate pipeline configuration: portable hash family
     (every signature DuckDB-recomputable), 16 perms in 8x2 bands."""
@@ -719,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_link": q_greedy_link,
         "hac_refine": q_hac_refine,
         "phonetic_keys": q_phonetic_keys,
+        "metaphone_keys": q_metaphone_keys,
         "incremental_match": q_incremental_match,
         "normalize_canonical": q_normalize_canonical,
         "set_keys": q_set_keys,
