@@ -123,20 +123,37 @@ class DedupePipeline:
         )
 
     def signatures(self, extracted: DataFrame) -> DataFrame:
-        """MinHash + SimHash signatures over checkpointed ntext.
+        """MinHash + SimHash signatures (plus the exact-dedup sha2 key)
+        over checkpointed ntext.
 
         A separate checkpointed stage on purpose: reading ntext back from
         parquet stops Catalyst's projection collapse from inlining the
         (expensive) normalization chain into every signature expression —
         measured 4x on the extract+sign path at 40k pages.
+
+        The stage's output deliberately does NOT carry ntext: every key
+        the blocking stage needs (sha2 exact key, minhash bands, simhash
+        bands, url domain) is derivable from the ~150 bytes/row emitted
+        here, while ntext is ~1 KB/page of web text. Dropping it cuts the
+        signatures write AND the blocking read ~7x — on the shared-memory
+        sandbox that byte volume is exactly the contended resource (the
+        2→8-core profile showed extract/signatures/block at 2.4-3.0x for
+        4x cores while the compute-bound stages hit 3.7-4.1x), and on a
+        real cluster it is shuffle-free but still object-store I/O.
+        Downstream hydration (score, cluster) re-joins ntext from the
+        extract checkpoint by url — the J2 ids-only pattern applied to
+        the stage boundary.
         """
         cfg = self.cfg
         shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
+        exact_key = F.sha2(F.col("ntext"), 256).alias("exact_key")
+        head = ["url", "warc_ts", "lang"]
         if cfg.portable_hashing:
             from ..functions import portable
 
             return extracted.select(
-                "*",
+                *head,
+                exact_key,
                 portable.minhash_sig(shingles, cfg.minhash_perms).alias("sig"),
                 portable.simhash32(shingles).alias("simhash"),
             )
@@ -144,8 +161,11 @@ class DedupePipeline:
             hashing.shingle_hashes(shingles)
         )
         return extracted.withColumn("_s", fused).select(
-            "*", F.col("_s.sig").alias("sig"), F.col("_s.simhash").alias("simhash")
-        ).drop("_s")
+            *head,
+            exact_key,
+            F.col("_s.sig").alias("sig"),
+            F.col("_s.simhash").alias("simhash"),
+        )
 
     def predicates(self) -> dict:
         cfg = self.cfg
@@ -167,8 +187,8 @@ class DedupePipeline:
             )
         return {
             "exact": F.when(
-                F.col("ntext").isNull(), F.array().cast("array<string>")
-            ).otherwise(F.array(F.sha2(F.col("ntext"), 256))),
+                F.col("exact_key").isNull(), F.array().cast("array<string>")
+            ).otherwise(F.array(F.col("exact_key"))),
             "mh": mh,
             "dom_sh": keygen.compound(keygen.domain_key(F.col("url")), sh),
         }

@@ -37,8 +37,10 @@ def build_index(pages: DataFrame, cfg) -> DataFrame:
     from ..sources.checkpoint import CheckpointStore
 
     pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
-    extracted = pipe.signatures(pipe.extract(pages))
-    bm = pipe.block(extracted)
+    extracted = pipe.extract(pages)
+    bm = pipe.block(pipe.signatures(extracted))
+    # ntext hydrates from the extract output — the signatures stage is
+    # keys-only by design (see DedupePipeline.signatures)
     return bm.join(
         extracted.select(F.col("url").alias("record_id"), "ntext"), "record_id"
     ).select("block_key", F.col("record_id").alias("url"), "ntext")
@@ -61,8 +63,8 @@ def match_batch(
     from ..sources.checkpoint import CheckpointStore
 
     pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
-    ext = pipe.signatures(pipe.extract(batch))
-    bm = pipe.block(ext)
+    ext = pipe.extract(batch)
+    bm = pipe.block(pipe.signatures(ext))
     qk = bm.join(
         ext.select(F.col("url").alias("record_id"), F.col("ntext").alias("q_ntext")),
         "record_id",
