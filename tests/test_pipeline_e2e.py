@@ -50,6 +50,20 @@ def test_every_record_assigned_once(run):
     assert em.select("record_id").distinct().count() == n_pages
 
 
+def test_signatures_checkpoint_is_keys_only(spark, run):
+    """Scale contract (BASELINE.md r3): the signatures stage emits only
+    the blocking inputs (url, exact sha2 key, minhash sig, simhash) —
+    never the ~1 KB/page ntext payload, which would ride the stage write
+    AND the blocking read. ntext hydrates from the extract checkpoint."""
+    signed = run["store"].read(spark, "signatures")
+    assert "ntext" not in signed.columns
+    assert {"url", "exact_key", "sig", "simhash"} <= set(signed.columns)
+    # the exact key is present exactly when extract produced text
+    ext = run["store"].read(spark, "extract")
+    n_text = ext.where(F.col("ntext").isNotNull()).count()
+    assert signed.where(F.col("exact_key").isNotNull()).count() == n_text
+
+
 def test_match_runs_lineage(spark, run):
     mr = run["store"].match_runs(spark)
     stages = {r["stage"] for r in mr.select("stage").distinct().collect()}
