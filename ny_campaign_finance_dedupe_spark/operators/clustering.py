@@ -39,7 +39,17 @@ MAX_CC_ITERS = 50
 # work: collect and union-find driver-side (the reference's own physical
 # plan, dedupe/clustering.py:101-152), then parallelize the result. At
 # cluster scale the loop path engages automatically.
-DRIVER_CC_MAX_EDGES = 200_000
+#
+# Sizing the boundary: the loop costs ~10-15 s of fixed job latency
+# regardless of input (measured: 12.8 s at 311k edges on 8 cores —
+# ~log(n) rounds x (2 shuffles + localCheckpoint + checksum collect)),
+# while the driver path is toPandas + numpy/python union-find at ~4 s
+# per million edges and ~16 B/edge of driver memory (2M edges = 32 MB,
+# seconds of work). The crossover is in the small millions; 2M keeps
+# the collect bounded well inside driver memory while letting every
+# sandbox-scale graph take the cheap path. At 10^12-doc scale the edge
+# count is orders of magnitude past this and the loop engages.
+DRIVER_CC_MAX_EDGES = 2_000_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

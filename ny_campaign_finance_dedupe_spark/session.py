@@ -80,6 +80,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "4m"),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Checkpoint bytes are the pipeline's contended resource — tmpfs
+        # bandwidth here, object-store throughput/cost at cluster scale.
+        # zstd trades (parallel, scalable) CPU for ~2x fewer bytes than
+        # snappy on web text: measured a/b at 1M pages in BASELINE.md.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~ the reference's 20,000-pair scoring chunk (dedupe/core.py:279)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")

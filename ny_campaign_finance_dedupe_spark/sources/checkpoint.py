@@ -233,7 +233,14 @@ class CheckpointStore:
         """Cluster-shape stats row (A5, campaign_finance_dedupe.py:443-471):
         total_clusters, avg/biggest cluster size, total_records, ratio."""
         spark = entity_map.sparkSession
-        sizes = entity_map.groupBy("cluster_id").count()
+        src = entity_map
+        # aggregate over the raw checkpoint scan when one exists: the
+        # caller's handle is usually the _spread() read-back, and a
+        # repartition exchange feeding a groupBy is a wasted full shuffle
+        # (the agg re-partitions by cluster_id anyway)
+        if self.has("cluster"):
+            src = self.fmt.read(spark, self._data_path("cluster"))
+        sizes = src.groupBy("cluster_id").count()
         row = sizes.agg(
             F.count("*").alias("total_clusters"),
             F.avg("count").alias("avg_cluster_size"),

@@ -59,6 +59,16 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     rows = em.count()
     secs = time.perf_counter() - t0
+    # per-stage wall clocks straight from the checkpoint metadata the run
+    # already wrote (sources/checkpoint.py meta.json) — identifies which
+    # stage scales worst between the two levels, at zero measurement cost
+    stage_walls = {}
+    for st in ("extract", "signatures", "block", "pairs", "score", "cluster"):
+        mp = store._meta_path(st)
+        if mp.exists():
+            stage_walls[st] = round(
+                json.loads(mp.read_text())["wall_clock_s"], 2
+            )
     shutil.rmtree(ckpt_root, ignore_errors=True)
     print(
         json.dumps(
@@ -68,6 +78,7 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
                 "secs": round(secs, 2),
                 "pages_per_sec": round(pages_n / secs, 1),
                 "entity_map_rows": rows,
+                "stage_walls": stage_walls,
             }
         )
     )
