@@ -1055,7 +1055,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d2 d
             JOIN (SELECT text, MIN(doc_id) AS cluster_id,
                          COUNT(*) AS cluster_size
-                  FROM d2 GROUP BY text) g USING (text)
+                  FROM d2 GROUP BY text) g
+              ON d.text IS NOT DISTINCT FROM g.text
             ORDER BY record_id
         """,
         "fingerprint_clusters": f"""
@@ -1444,7 +1445,7 @@ def oracle_sql() -> dict[str, str]:
                              CASE WHEN fb.cluster_id IN
                                        (SELECT prev_id FROM winners)
                                   THEN COALESCE(fb.free_min,
-                                                -fb.cluster_id)
+                                                -(fb.cluster_id + 1))
                                   ELSE fb.cluster_id END AS new_id
                       FROM fb)
             SELECT cur.record_id,

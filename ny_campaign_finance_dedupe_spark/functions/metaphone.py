@@ -70,7 +70,15 @@ def _dm(word: str, max_length: int | None = 4) -> tuple[str, str]:
         cur = 1
 
     while cur < length:
-        if max_length and len(pri) >= max_length and len(sec) >= max_length:
+        # Philips' guard counts accumulated code CHARS, not rule firings:
+        # segments may be empty (Spanish-LL secondary) or multi-char, so
+        # a segment-count break truncates words like ALLEGROS too early
+        # (secondary AKR instead of AKRS)
+        if (
+            max_length
+            and sum(map(len, pri)) >= max_length
+            and sum(map(len, sec)) >= max_length
+        ):
             break
         ch = at(cur)
         if ch in VOWELS:

@@ -427,27 +427,26 @@ def cosine_neardup_pairs(
     degrades to the approximate plan, so the "all pairs >= threshold"
     contract never weakens silently. The size probe is a bounded
     ``limit(max+1).count()``, not a full count over the corpus."""
-    if exact is None or not exact:
-        big = (
-            df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
-            if exact is None
-            else True
-        )
-        if big:
-            if exact is None:
-                import warnings
+    if exact is False:
+        return cosine_neardup_bucketed(
+            df, id_col, vec_col, threshold
+        ).select("src", "dst", "cosine")
+    if exact is None and (
+        df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+    ):
+        import warnings
 
-                warnings.warn(
-                    f"cosine_neardup_pairs: corpus exceeds "
-                    f"{max_broadcast_rows} rows; degrading to the "
-                    f"LSH-bucketed approximate plan (~0.5% recall loss at "
-                    f"threshold 0.9). Pass exact=False to silence, or "
-                    f"exact=True to force the exact plan.",
-                    stacklevel=2,
-                )
-            return cosine_neardup_bucketed(
-                df, id_col, vec_col, threshold
-            ).select("src", "dst", "cosine")
+        warnings.warn(
+            f"cosine_neardup_pairs: corpus exceeds "
+            f"{max_broadcast_rows} rows; degrading to the "
+            f"LSH-bucketed approximate plan (~0.5% recall loss at "
+            f"threshold 0.9). Pass exact=False to silence, or "
+            f"exact=True to force the exact plan.",
+            stacklevel=2,
+        )
+        return cosine_neardup_bucketed(
+            df, id_col, vec_col, threshold
+        ).select("src", "dst", "cosine")
     spark = df.sparkSession
     ids, mat = _matrix(df, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))

@@ -367,9 +367,15 @@ def carry_forward_cluster_ids(
         )
         .select(
             "cluster_id",
+            # last-resort fresh id when every member id is claimed:
+            # -(cluster_id + 1), not -cluster_id — record ids are
+            # non-negative and -0 == 0 would silently merge a losing
+            # fragment anchored at record id 0 into the winner that
+            # adopted prev_id 0. The +1 shift keeps the id strictly
+            # negative (collision-free) and injective per cluster_id.
             F.when(
                 F.col("_claimed_id").isNotNull(),
-                F.coalesce("free_min", -F.col("cluster_id")),
+                F.coalesce("free_min", -(F.col("cluster_id") + F.lit(1))),
             )
             .otherwise(F.col("cluster_id"))
             .alias("new_id"),

@@ -57,7 +57,12 @@ def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     Common-Crawl scale) costs one counter in the agg and streams through
     the join; the old ``collect_list`` materialized it in one task.
     """
-    key = F.sha2(F.col(payload).cast("string"), 256)
+    # NULL payloads must survive the equi-join below (sha2(NULL) is NULL
+    # and a NULL key never matches), so they get a marker key that cannot
+    # collide with hex sha2 output — they group together, matching SQL
+    # GROUP BY null semantics, instead of silently vanishing
+    c = F.col(payload).cast("string")
+    key = F.when(c.isNull(), F.lit("__NULL_PAYLOAD__")).otherwise(F.sha2(c, 256))
     # persist the (id, hash) projection: both the agg and the join probe
     # consume it, and without the cache each side re-reads the payload
     # and re-hashes it — at Common-Crawl scale that is two full scans of

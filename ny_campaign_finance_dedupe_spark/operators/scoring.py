@@ -209,7 +209,31 @@ def variable_features(
         t = var.get("type", "String")
         if t == "Interaction":
             f1, f2 = var["interaction"]
-            out[f"{f1}_x_{f2}"] = out[f1] * out[f2]
+
+            def _components(fld: str) -> list[str]:
+                # a scalar comparator contributes one column named after
+                # the field; Categorical/Exists contribute only dummy
+                # columns — the reference interacts with each dummy
+                # (variables/interaction.py:25-40 expands higher_vars),
+                # so the interaction fans out across them. _missing
+                # indicators are not features and never interact.
+                if fld in out:
+                    return [fld]
+                dummies = [
+                    k for k in out
+                    if k.startswith(f"{fld}_") and not k.endswith("_missing")
+                ]
+                if not dummies:
+                    raise ValueError(
+                        f'Interaction "{f1}"x"{f2}": field "{fld}" has no'
+                        " feature columns (define it before the"
+                        " interaction)"
+                    )
+                return dummies
+
+            for k1 in _components(f1):
+                for k2 in _components(f2):
+                    out[f"{k1}_x_{k2}"] = out[k1] * out[k2]
             continue
         f = var["field"]
         a, b = F.col(f"{f}_a"), F.col(f"{f}_b")
@@ -343,6 +367,22 @@ def compute_idf(
     }
 
 
+_IDF_BROADCASTS: list = []
+
+
+def release_idf_broadcasts() -> None:
+    """Destroy IDF broadcasts created by ``tfidf_cosine_udf``. Call
+    after the results of Text-variable plans are materialized (the
+    bench / correctness-sweep pattern); plans built before the release
+    must not be re-executed afterwards."""
+    while _IDF_BROADCASTS:
+        b = _IDF_BROADCASTS.pop()
+        try:
+            b.destroy()
+        except Exception:
+            pass
+
+
 def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
     """Arrow-batched pandas UDF: IDF-weighted token-set cosine between
     two text columns — the real Text comparator (TF-IDF cosine), vs the
@@ -363,6 +403,12 @@ def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
 
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(idf) if spark is not None else None
+    if bc is not None:
+        # broadcasts are only reclaimed at context shutdown unless
+        # destroyed; a long-lived session compiling many Text specs
+        # accumulates them — register for release_idf_broadcasts()
+        # (the operator-state convention, cf. dedup._tag_persisted)
+        _IDF_BROADCASTS.append(bc)
     local_idf = None if bc is not None else dict(idf)
     d2 = float(default_idf) ** 2
     cache: dict[str, dict] = {}
@@ -533,14 +579,25 @@ def affine_gap_batch(
     mismatch: float = 11.0,
     gap_open: float = 10.0,
     gap_extend: float = 7.0,
+    abbreviation_scale: float = 0.125,
 ) -> np.ndarray:
     """Normalized affine-gap edit distance over a batch of string pairs
-    — the reference String comparator's actual distance
+    — the reference String comparator's distance family
     (variables/string.py:4,66: affinegap.normalizedAffineGapDistance;
-    default weights per that library's published interface). Gotoh
-    three-state DP (match/mismatch, gap-in-a, gap-in-b with separate
-    open/extend costs), normalized by mean length so two identical
-    strings score exactly ``match`` and distances grow from there.
+    default weights per that library's published interface). Full Gotoh
+    three-state DP: each gap state may follow ANY state at its
+    predecessor cell (gap-open cost when entering from match OR from
+    the opposite gap direction, extend when continuing), so adjacent
+    opposite-direction gaps price correctly under any weight choice.
+    ``abbreviation_scale`` is the library's published abbreviation
+    discount: gap costs for characters beyond the other string's length
+    are scaled down (default 0.125), so 'acme corp' vs
+    'acme corporation' pays 1/8th for the tail it cannot possibly
+    match. Distances are normalized by mean length (identical strings
+    score exactly ``match``). Pinned by an independent scalar DP with
+    the same published recurrence (test_variable_features.py) — the
+    reference's C library is not importable in this sandbox, so parity
+    is to the published algorithm, not bit-for-bit to its binary.
 
     Vectorized across ROWS: the DP loops over character positions
     (L1 x L2 iterations bounded by the longest strings in the batch),
@@ -557,6 +614,7 @@ def affine_gap_batch(
     L1 = int(l1.max(initial=0))
     L2 = int(l2.max(initial=0))
     INF = np.inf
+    oe = gap_open + gap_extend
     c1 = np.zeros((n, max(L1, 1)), dtype=np.int64)
     c2 = np.zeros((n, max(L2, 1)), dtype=np.int64)
     for i, s in enumerate(s1):
@@ -571,12 +629,17 @@ def affine_gap_batch(
             )
     # current-row DP state, shape (n, L2+1); *fin buffers capture the
     # row i == l1[r] for each batch row r (strings end at different i)
-    J = np.arange(L2 + 1)
     M = np.full((n, L2 + 1), INF)
     X = np.full((n, L2 + 1), INF)
     Y = np.full((n, L2 + 1), INF)
     M[:, 0] = 0.0
-    X[:, 1:] = gap_open + gap_extend * J[1:]
+    # row 0: a single gap along b; char j of b is discounted once past
+    # the end of a (it has nothing left to align against)
+    for j in range(1, L2 + 1):
+        fx = np.where(j > l1, abbreviation_scale, 1.0)
+        X[:, j] = np.where(
+            j == 1, M[:, 0] + oe * fx, X[:, j - 1] + gap_extend * fx
+        )
     Mfin = np.full((n, L2 + 1), INF)
     Xfin = np.full((n, L2 + 1), INF)
     Yfin = np.full((n, L2 + 1), INF)
@@ -590,18 +653,22 @@ def affine_gap_batch(
         X = np.full((n, L2 + 1), INF)
         Y = np.full((n, L2 + 1), INF)
         best_prev = np.minimum(np.minimum(pM, pX), pY)
+        fy = np.where(i > l2, abbreviation_scale, 1.0)
         Y[:, 0] = np.minimum(
-            pM[:, 0] + gap_open + gap_extend, pY[:, 0] + gap_extend
+            pM[:, 0] + oe * fy, pY[:, 0] + gap_extend * fy
         )
         ci = c1[:, i - 1]
         for j in range(1, L2 + 1):
+            fx = np.where(j > l1, abbreviation_scale, 1.0)
             sub = np.where(ci == c2[:, j - 1], match, mismatch)
             M[:, j] = sub + best_prev[:, j - 1]
             X[:, j] = np.minimum(
-                M[:, j - 1] + gap_open + gap_extend, X[:, j - 1] + gap_extend
+                np.minimum(M[:, j - 1], Y[:, j - 1]) + oe * fx,
+                X[:, j - 1] + gap_extend * fx,
             )
             Y[:, j] = np.minimum(
-                pM[:, j] + gap_open + gap_extend, pY[:, j] + gap_extend
+                np.minimum(pM[:, j], pX[:, j]) + oe * fy,
+                pY[:, j] + gap_extend * fy,
             )
         now = l1 == i
         if now.any():

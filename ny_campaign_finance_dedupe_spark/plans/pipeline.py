@@ -269,5 +269,7 @@ class DedupePipeline:
         cand = stage(3, "pairs", lambda: self.gen_pairs(bm))
         scored = stage(4, "score", lambda: self.score(cand, extracted))
         entity_map = stage(5, "cluster", lambda: self.cluster(scored, extracted))
-        self.store.write_run_stats(entity_map, params=p)
+        # entity_map=None: aggregate the raw cluster-checkpoint scan
+        # (params-validated), skipping the read-back's repartition
+        self.store.write_run_stats(params=p, spark=spark)
         return entity_map

@@ -229,16 +229,32 @@ class CheckpointStore:
     def match_runs(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.root / "match_runs"))
 
-    def write_run_stats(self, entity_map: DataFrame, params: dict | None = None):
+    def write_run_stats(
+        self,
+        entity_map: DataFrame | None = None,
+        params: dict | None = None,
+        spark: SparkSession | None = None,
+    ):
         """Cluster-shape stats row (A5, campaign_finance_dedupe.py:443-471):
-        total_clusters, avg/biggest cluster size, total_records, ratio."""
-        spark = entity_map.sparkSession
-        src = entity_map
-        # aggregate over the raw checkpoint scan when one exists: the
-        # caller's handle is usually the _spread() read-back, and a
-        # repartition exchange feeding a groupBy is a wasted full shuffle
-        # (the agg re-partitions by cluster_id anyway)
-        if self.has("cluster"):
+        total_clusters, avg/biggest cluster size, total_records, ratio.
+
+        Contract: a caller-passed ``entity_map`` is aggregated AS GIVEN
+        — never silently swapped for on-disk state. Pass
+        ``entity_map=None`` to aggregate the raw cluster-checkpoint scan
+        instead (the pipeline's fast path: the checkpoint scan skips the
+        read-back's _spread() repartition exchange, which the groupBy
+        would immediately re-shuffle anyway); that path requires the
+        cluster checkpoint to exist WITH matching ``params``, so stats
+        can never describe a stale or differently-configured run."""
+        if entity_map is not None:
+            src = entity_map
+        else:
+            if not self.has("cluster", params):
+                raise ValueError(
+                    "write_run_stats(entity_map=None) requires a cluster "
+                    "checkpoint written under the same params"
+                )
+            spark = spark or SparkSession.getActiveSession()
             src = self.fmt.read(spark, self._data_path("cluster"))
         sizes = src.groupBy("cluster_id").count()
         row = sizes.agg(

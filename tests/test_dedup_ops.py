@@ -26,6 +26,10 @@ def test_exact_duplicates(docs):
     }
     assert out[1] == (1, 2) and out[2] == (1, 2)
     assert out[3][1] == 1 and out[4][1] == 1
+    # NULL payloads are not dropped by the hydration join: they keep
+    # their rows and group together (SQL GROUP BY null semantics)
+    assert out[5] == (5, 1)
+    assert len(out) == 5
 
 
 def test_exact_duplicates_no_member_array(spark):

@@ -28,6 +28,10 @@ VECTORS = [
     ("ghislane", "JLN", ""),
     ("knight", "NT", ""),
     ("9301", "", ""),
+    # truncation counts accumulated code CHARS, not segments: the
+    # Spanish-LL rule emits an empty secondary segment, so a
+    # segment-count guard would stop before the final S (AKR, not AKRS)
+    ("ALLEGROS", "ALKR", "AKRS"),
 ]
 
 

@@ -75,6 +75,25 @@ def test_match_runs_lineage(spark, run):
     assert total == run["pages"].count()
 
 
+def test_run_stats_honors_passed_map_and_validates_params(spark, run):
+    """write_run_stats contract: a caller-passed entity map is
+    aggregated AS GIVEN (never silently swapped for the on-disk cluster
+    checkpoint), and the checkpoint fast path (entity_map=None) is
+    params-validated so stale/mismatched checkpoints are refused."""
+    store = run["store"]
+    full = run["entity_map"]
+    n = full.count()
+    # a strict subset must yield subset stats, not checkpoint stats
+    subset = full.limit(n // 2)
+    stats = store.write_run_stats(subset, params={"probe": "subset"})
+    assert stats["total_records"] == n // 2
+    # checkpoint fast path: params must match the cluster checkpoint's
+    with pytest.raises(ValueError):
+        store.write_run_stats(params={"not": "the pipeline params"})
+    ok = store.write_run_stats(params=run["pipe"].cfg.params())
+    assert ok["total_records"] == n
+
+
 def test_resume_from_cluster_reuses_checkpoints(spark, run):
     """Resume from 'cluster': stages before it must be read back, and the
     final entity map must be identical (idempotent restart)."""

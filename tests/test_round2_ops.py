@@ -181,11 +181,47 @@ def test_carry_forward_all_members_claimed(spark):
         for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
     }
     # {5,6} wins prev 1, {7,8} wins prev 2; loser {1,2} has both members
-    # claimed and its own id claimed -> -1
+    # claimed and its own id claimed -> fresh -(cluster_id+1) = -2
     assert out[5] == out[6] == 1
     assert out[7] == out[8] == 2
-    assert out[1] == out[2] == -1
+    assert out[1] == out[2] == -2
     assert len({out[1], out[5], out[7]}) == 3
+
+
+def test_carry_forward_zero_id_fallback_stays_distinct(spark):
+    # record ids are non-negative, so id 0 is legal; a loser anchored at
+    # 0 whose every member is claimed must NOT fall back to -0 == 0
+    # (that would silently merge it with the winner adopting prev_id 0)
+    prev = spark.createDataFrame(
+        [(0, 0), (5, 0), (6, 0)], "record_id long, cluster_id long"
+    )
+    cur = spark.createDataFrame(
+        [(0, 0), (5, 0), (6, 6)], "record_id long, cluster_id long"
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
+    }
+    # {0,5} (overlap 2) wins prev id 0; loser {6} falls back to its own
+    # unclaimed member id 6 — and in the fully-claimed variant below,
+    # to a strictly negative id, never 0
+    assert out[0] == out[5] == 0
+    assert out[6] == 6
+    # fully-claimed variant: prev {0,1,2} splits into cur {0} and
+    # {1,2}; {1,2} (overlap 2) wins prev id 0, the loser {0} has its
+    # only member id claimed -> fresh id -(0+1) = -1, NOT -0 == 0
+    prev2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "record_id long, cluster_id long"
+    )
+    cur2 = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 1)], "record_id long, cluster_id long"
+    )
+    out2 = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev2, cur2).collect()
+    }
+    assert out2[1] == out2[2] == 0
+    assert out2[0] == -1  # the -0 bug merged this into cluster 0
 
 
 # --- set-element predicates -------------------------------------------------

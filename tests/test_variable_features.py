@@ -118,6 +118,26 @@ def test_interaction_product(spark):
     assert r["a_x_b"] == 1.0
 
 
+def test_interaction_over_categorical_expands_dummies(spark):
+    """An interaction referencing a Categorical field fans out across
+    its dummy columns (the reference expands higher_vars) instead of
+    raising KeyError on the missing base column."""
+    r = _feat(
+        spark,
+        [("p", "p", "x", "x")],
+        "typ_a string, typ_b string, nm_a string, nm_b string",
+        [
+            {"field": "typ", "type": "Categorical", "categories": ["c", "p"]},
+            {"field": "nm", "type": "Exact"},
+            {"type": "Interaction", "interaction": ["typ", "nm"]},
+        ],
+    )
+    # dummies for categories {c, p}: baseline (c,c) dropped ->
+    # typ_is_p and typ_is_c_p remain; each interacts with nm
+    assert r["typ_is_p_x_nm"] == 1.0
+    assert r["typ_is_c_p_x_nm"] == 0.0
+
+
 def test_string_variable_blends_cosine_and_lev(spark):
     r = _feat(
         spark,
@@ -196,7 +216,12 @@ def test_jaro_winkler_vectorized_matches_scalar(spark):
         assert abs(got[i] - jaro_winkler_one(s1, s2)) < 1e-12, (s1, s2)
 
 
-def _affine_gap_scalar(s1, s2, match=1.0, mismatch=11.0, go=10.0, ge=7.0):
+def _affine_gap_scalar(
+    s1, s2, match=1.0, mismatch=11.0, go=10.0, ge=7.0, ab=0.125
+):
+    """Independent scalar full-Gotoh DP: gap states may follow ANY state
+    at the predecessor cell; gap costs for chars beyond the other
+    string's length scale by the abbreviation discount."""
     import math
 
     l1, l2 = len(s1), len(s2)
@@ -206,15 +231,25 @@ def _affine_gap_scalar(s1, s2, match=1.0, mismatch=11.0, go=10.0, ge=7.0):
     Y = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
     M[0][0] = 0.0
     for j in range(1, l2 + 1):
-        X[0][j] = go + ge * j
+        fx = ab if j > l1 else 1.0
+        X[0][j] = (go + ge) * fx if j == 1 else X[0][j - 1] + ge * fx
     for i in range(1, l1 + 1):
-        Y[i][0] = go + ge * i
+        fy = ab if i > l2 else 1.0
+        Y[i][0] = (go + ge) * fy if i == 1 else Y[i - 1][0] + ge * fy
     for i in range(1, l1 + 1):
+        fy = ab if i > l2 else 1.0
         for j in range(1, l2 + 1):
+            fx = ab if j > l1 else 1.0
             sub = match if s1[i - 1] == s2[j - 1] else mismatch
             M[i][j] = sub + min(M[i-1][j-1], X[i-1][j-1], Y[i-1][j-1])
-            X[i][j] = min(M[i][j-1] + go + ge, X[i][j-1] + ge)
-            Y[i][j] = min(M[i-1][j] + go + ge, Y[i-1][j] + ge)
+            X[i][j] = min(
+                min(M[i][j-1], Y[i][j-1]) + (go + ge) * fx,
+                X[i][j-1] + ge * fx,
+            )
+            Y[i][j] = min(
+                min(M[i-1][j], X[i-1][j]) + (go + ge) * fy,
+                Y[i-1][j] + ge * fy,
+            )
     d = min(M[l1][l2], X[l1][l2], Y[l1][l2])
     if not (l1 or l2):
         return 0.0
@@ -246,6 +281,35 @@ def test_affine_gap_batch_matches_scalar_dp():
         assert abs(got[i] - want) < 1e-9, (s1, s2, got[i], want)
     # identical strings normalize to exactly the match weight
     assert got[3] == 1.0
+
+
+def test_affine_gap_cross_state_and_abbreviation():
+    import pandas as pd
+
+    from ny_campaign_finance_dedupe_spark.operators.scoring import (
+        affine_gap_batch,
+    )
+
+    # cross-gap-state path: under mismatch=100 the optimum for 'a' vs
+    # 'b' is delete+insert (two adjacent opposite-direction gaps,
+    # 2*(open+extend) = 34), NOT the 100-cost substitution — a
+    # recurrence that forbids X->Y adjacency returns 100
+    (d,) = affine_gap_batch(
+        pd.Series(["a"]), pd.Series(["b"]), mismatch=100.0,
+        abbreviation_scale=1.0,
+    )
+    assert d == pytest.approx(34.0)
+    # abbreviation discount: the tail of the longer string beyond the
+    # shorter's length is gapped at 1/8th cost, so the abbreviation
+    # pair scores well below the same distance without the discount
+    full = affine_gap_batch(
+        pd.Series(["acme corp"]), pd.Series(["acme corporation"]),
+        abbreviation_scale=1.0,
+    )[0]
+    disc = affine_gap_batch(
+        pd.Series(["acme corp"]), pd.Series(["acme corporation"]),
+    )[0]
+    assert disc < full
 
 
 def test_short_string_variable_uses_affine_gap(spark):

@@ -43,10 +43,18 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
     from ny_campaign_finance_dedupe_spark.synth import synth_pages
 
+    # Hold memory PER CORE constant across levels (4 GiB/core: 2 cores
+    # -> 8g, identical to the rounds-1/2 protocol; 8 cores -> 32g). A
+    # real N -> 4N executor scale-up brings 4N executor memory with it;
+    # giving both local[] levels the same fixed heap makes per-task
+    # memory 4x smaller at the hi level — an anti-scaling bias no
+    # cluster has (visible as hi-side spill once the input outgrows the
+    # heap, e.g. at 2M pages).
     spark = get_spark(
         f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
+        extra_conf={"spark.driver.memory": f"{4 * cores}g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages, _ = synth_pages(spark, n_pages=pages_n, seed=seed, partitions=2 * cores)
