@@ -1417,7 +1417,8 @@ def oracle_sql() -> dict[str, str]:
             cur AS (SELECT d.doc_id AS record_id, g.cluster_id
                     FROM d2 d
                     JOIN (SELECT text, MIN(doc_id) AS cluster_id
-                          FROM d2 GROUP BY text) g USING (text)),
+                          FROM d2 GROUP BY text) g
+                      ON d.text IS NOT DISTINCT FROM g.text),
             ov AS (SELECT cur.cluster_id, prev.prev_id,
                           COUNT(*) AS overlap
                    FROM cur JOIN prev USING (record_id)
@@ -1445,7 +1446,9 @@ def oracle_sql() -> dict[str, str]:
                              CASE WHEN fb.cluster_id IN
                                        (SELECT prev_id FROM winners)
                                   THEN COALESCE(fb.free_min,
-                                                -(fb.cluster_id + 1))
+                                                LEAST(0, (SELECT MIN(prev_id)
+                                                          FROM prev))
+                                                - fb.cluster_id - 1)
                                   ELSE fb.cluster_id END AS new_id
                       FROM fb)
             SELECT cur.record_id,

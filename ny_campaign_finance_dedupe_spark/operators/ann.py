@@ -427,7 +427,7 @@ def cosine_neardup_pairs(
     degrades to the approximate plan, so the "all pairs >= threshold"
     contract never weakens silently. The size probe is a bounded
     ``limit(max+1).count()``, not a full count over the corpus."""
-    if exact is False:
+    if exact is not None and not exact:  # False or falsy: force bucketed
         return cosine_neardup_bucketed(
             df, id_col, vec_col, threshold
         ).select("src", "dst", "cosine")

@@ -307,11 +307,19 @@ def carry_forward_cluster_ids(
     of its own split (prev anchor record landed in the losing fragment).
     Losers whose own id was claimed by a winner are remapped to their
     smallest member record id not claimed by any winner; in the corner
-    where every member id is claimed, to the negation of their id
-    (record ids are non-negative, so negatives cannot collide).
+    where every member id is claimed, to a fresh id strictly below
+    ``min(0, min(prev cluster_id)) `` — record ids are non-negative and
+    every adoptable prev_id is >= that floor, so the fresh ids collide
+    with nothing, INCLUDING negative prev ids minted by a previous
+    generation's own fallback (chained carry-forwards).
 
     Input/output: (record_id, cluster_id) maps.
     """
+    # scalar floor for fresh ids, broadcast-joined to stay lazy: one
+    # cheap column-min over the previous map
+    neg_floor = prev_map.agg(
+        F.least(F.lit(0).cast("long"), F.min("cluster_id")).alias("_floor")
+    )
     ov = (
         cur_map.select("record_id", "cluster_id")
         .join(
@@ -365,17 +373,22 @@ def carry_forward_cluster_ids(
             free_min["cluster_id"] == claimed["_claimed_id"],
             "left",
         )
+        .crossJoin(F.broadcast(neg_floor))
         .select(
             "cluster_id",
             # last-resort fresh id when every member id is claimed:
-            # -(cluster_id + 1), not -cluster_id — record ids are
-            # non-negative and -0 == 0 would silently merge a losing
-            # fragment anchored at record id 0 into the winner that
-            # adopted prev_id 0. The +1 shift keeps the id strictly
-            # negative (collision-free) and injective per cluster_id.
+            # floor - cluster_id - 1, where floor = min(0, min prev id).
+            # Strictly below every adoptable prev_id AND every record id
+            # (non-negative), injective per cluster_id; -0 == 0 (a loser
+            # anchored at record 0 merging into the winner that adopted
+            # prev_id 0) and reuse of a prior generation's negative
+            # fallback id are both impossible.
             F.when(
                 F.col("_claimed_id").isNotNull(),
-                F.coalesce("free_min", -(F.col("cluster_id") + F.lit(1))),
+                F.coalesce(
+                    "free_min",
+                    F.col("_floor") - F.col("cluster_id") - F.lit(1),
+                ),
             )
             .otherwise(F.col("cluster_id"))
             .alias("new_id"),

@@ -205,34 +205,33 @@ def variable_features(
     (datamodel.py:96-115).
     """
     out: dict[str, Column] = {}
+    # exact record of which feature columns each FIELD produced (dummy
+    # names are not recoverable by prefix: field "addr" would capture an
+    # unrelated field "addr_city"); _missing indicators are not features
+    # and never interact
+    field_cols: dict[str, list[str]] = {}
     for var in spec:
         t = var.get("type", "String")
         if t == "Interaction":
             f1, f2 = var["interaction"]
 
             def _components(fld: str) -> list[str]:
-                # a scalar comparator contributes one column named after
-                # the field; Categorical/Exists contribute only dummy
-                # columns — the reference interacts with each dummy
-                # (variables/interaction.py:25-40 expands higher_vars),
-                # so the interaction fans out across them. _missing
-                # indicators are not features and never interact.
-                if fld in out:
-                    return [fld]
-                dummies = [
-                    k for k in out
-                    if k.startswith(f"{fld}_") and not k.endswith("_missing")
-                ]
-                if not dummies:
+                # the reference interacts with each of a field's columns
+                # (variables/interaction.py:25-40 expands higher_vars):
+                # one column for scalar comparators, every dummy for
+                # Categorical/Exists
+                cols = field_cols.get(fld)
+                if not cols:
                     raise ValueError(
                         f'Interaction "{f1}"x"{f2}": field "{fld}" has no'
                         " feature columns (define it before the"
                         " interaction)"
                     )
-                return dummies
+                return cols
 
-            for k1 in _components(f1):
-                for k2 in _components(f2):
+            comps1, comps2 = _components(f1), _components(f2)
+            for k1 in comps1:
+                for k2 in comps2:
                     out[f"{k1}_x_{k2}"] = out[k1] * out[k2]
             continue
         f = var["field"]
@@ -296,6 +295,7 @@ def variable_features(
             outcomes: list[tuple] = [(c,) for c in cats] + list(
                 itertools.combinations(cats, 2)
             )
+            field_cols[f] = []
             for outcome in outcomes[1:]:
                 if len(outcome) == 1:
                     cond = present & (a == outcome[0]) & (b == outcome[0])
@@ -307,6 +307,7 @@ def variable_features(
                     )
                     name = f"{f}_is_{c1}_{c2}"
                 out[name] = cond.cast("double")
+                field_cols[f].append(name)
             if var.get("has missing"):
                 out[f"{f}_missing"] = (~present).cast("double")
             continue
@@ -315,10 +316,12 @@ def variable_features(
             out[f"{f}_one"] = (
                 a.isNotNull() != b.isNotNull()
             ).cast("double")
+            field_cols[f] = [f"{f}_both", f"{f}_one"]
             continue
         else:
             raise ValueError(f"unknown variable type: {t}")
         out[f] = F.when(present, F.coalesce(expr, F.lit(0.0))).otherwise(0.0)
+        field_cols[f] = [f]
         if var.get("has missing"):
             out[f"{f}_missing"] = (~present).cast("double")
     return out
@@ -367,20 +370,25 @@ def compute_idf(
     }
 
 
-_IDF_BROADCASTS: list = []
+_IDF_BROADCASTS: list = []  # weakrefs: registry must not pin broadcasts
 
 
 def release_idf_broadcasts() -> None:
-    """Destroy IDF broadcasts created by ``tfidf_cosine_udf``. Call
-    after the results of Text-variable plans are materialized (the
-    bench / correctness-sweep pattern); plans built before the release
-    must not be re-executed afterwards."""
+    """Destroy IDF broadcasts created by ``tfidf_cosine_udf`` that are
+    still alive. Call after the results of Text-variable plans are
+    materialized (the bench / correctness-sweep pattern); plans built
+    before the release must not be re-executed afterwards. The registry
+    holds weakrefs, so broadcasts whose plans were simply dropped are
+    reclaimed by Spark's ContextCleaner as before — this hook only adds
+    eager, deterministic release."""
     while _IDF_BROADCASTS:
-        b = _IDF_BROADCASTS.pop()
-        try:
-            b.destroy()
-        except Exception:
-            pass
+        ref = _IDF_BROADCASTS.pop()
+        b = ref()
+        if b is not None:
+            try:
+                b.destroy()
+            except Exception:
+                pass
 
 
 def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
@@ -404,11 +412,13 @@ def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(idf) if spark is not None else None
     if bc is not None:
-        # broadcasts are only reclaimed at context shutdown unless
-        # destroyed; a long-lived session compiling many Text specs
-        # accumulates them — register for release_idf_broadcasts()
-        # (the operator-state convention, cf. dedup._tag_persisted)
-        _IDF_BROADCASTS.append(bc)
+        # register (weakly — pinning would defeat the ContextCleaner's
+        # automatic reclamation of dropped plans) so long-lived sessions
+        # compiling many Text specs can release eagerly via
+        # release_idf_broadcasts() (cf. dedup._tag_persisted)
+        import weakref
+
+        _IDF_BROADCASTS.append(weakref.ref(bc))
     local_idf = None if bc is not None else dict(idf)
     d2 = float(default_idf) ** 2
     cache: dict[str, dict] = {}
@@ -633,10 +643,15 @@ def affine_gap_batch(
     X = np.full((n, L2 + 1), INF)
     Y = np.full((n, L2 + 1), INF)
     M[:, 0] = 0.0
+    # per-column gap-discount factors depend only on (j, l1): compute
+    # the L2 length-n vectors once, not once per DP cell
+    FX = [None] + [
+        np.where(j > l1, abbreviation_scale, 1.0) for j in range(1, L2 + 1)
+    ]
     # row 0: a single gap along b; char j of b is discounted once past
     # the end of a (it has nothing left to align against)
     for j in range(1, L2 + 1):
-        fx = np.where(j > l1, abbreviation_scale, 1.0)
+        fx = FX[j]
         X[:, j] = np.where(
             j == 1, M[:, 0] + oe * fx, X[:, j - 1] + gap_extend * fx
         )
@@ -659,7 +674,7 @@ def affine_gap_batch(
         )
         ci = c1[:, i - 1]
         for j in range(1, L2 + 1):
-            fx = np.where(j > l1, abbreviation_scale, 1.0)
+            fx = FX[j]
             sub = np.where(ci == c2[:, j - 1], match, mismatch)
             M[:, j] = sub + best_prev[:, j - 1]
             X[:, j] = np.minimum(

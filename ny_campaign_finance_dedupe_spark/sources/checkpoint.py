@@ -249,12 +249,20 @@ class CheckpointStore:
         if entity_map is not None:
             src = entity_map
         else:
-            if not self.has("cluster", params):
+            # params is REQUIRED here: has(stage, None) is a bare
+            # existence probe, which would silently accept a checkpoint
+            # written under a different configuration
+            if params is None or not self.has("cluster", params):
                 raise ValueError(
                     "write_run_stats(entity_map=None) requires a cluster "
-                    "checkpoint written under the same params"
+                    "checkpoint written under the same (non-None) params"
                 )
             spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "write_run_stats(entity_map=None) needs a SparkSession "
+                    "(pass spark=...) when none is active"
+                )
             src = self.fmt.read(spark, self._data_path("cluster"))
         sizes = src.groupBy("cluster_id").count()
         row = sizes.agg(

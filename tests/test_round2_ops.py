@@ -224,6 +224,31 @@ def test_carry_forward_zero_id_fallback_stays_distinct(spark):
     assert out2[0] == -1  # the -0 bug merged this into cluster 0
 
 
+def test_carry_forward_chained_negative_prev_ids(spark):
+    """Chained carry-forwards: a prior generation's fallback minted a
+    negative cluster id (-2) which this generation's winner adopts; a
+    new fully-claimed loser with cluster_id 1 must NOT mint -(1+1) = -2
+    again — fresh ids are drawn below min(0, min(prev id))."""
+    prev = spark.createDataFrame(
+        [(10, -2), (11, -2), (1, 1), (2, 1), (3, 1)],
+        "record_id long, cluster_id long",
+    )
+    cur = spark.createDataFrame(
+        [(10, 10), (11, 10), (1, 1), (2, 2), (3, 2)],
+        "record_id long, cluster_id long",
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in clustering.carry_forward_cluster_ids(prev, cur).collect()
+    }
+    # {10,11} adopts -2; {2,3} (overlap 2) wins prev 1; loser {1} is
+    # fully claimed -> fresh id = min(0,-2) - 1 - 1 = -4, distinct
+    assert out[10] == out[11] == -2
+    assert out[2] == out[3] == 1
+    assert out[1] == -4
+    assert len({out[1], out[2], out[10]}) == 3
+
+
 # --- set-element predicates -------------------------------------------------
 
 def test_common_two_three_elements(spark):
