@@ -1039,7 +1039,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # mirror textstats.lang_id: strict > scanning codes alphabetically
     vote = {
-        code: f"len(list_filter(string_split(lower(text), ' '),"
+        code: rf"len(list_filter(regexp_extract_all(lower(text), '\S+'),"
         f" t -> list_contains([{langs[code]}], t)))"
         for code in langs
     }
@@ -1092,7 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             SELECT doc_id AS record_id,
                    CASE WHEN text IS NULL THEN NULL
-                        ELSE len(string_split_regex(text, '\s+')) END AS n_tokens,
+                        ELSE len(regexp_extract_all(text, '\S+')) END AS n_tokens,
                    CASE WHEN text IS NULL THEN NULL
                         ELSE len(regexp_extract_all(lower(text),
                              '[a-z]+|[0-9]+|[^a-z0-9\s]')) END AS n_bpe_tokens
@@ -1102,9 +1102,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS record_id,
                    CASE WHEN text IS NULL THEN NULL ELSE
                      0.5 * least(1.0,
-                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                       len(list_filter(regexp_extract_all(lower(text), '\S+'),
                            t -> list_contains([{sw}], t)))::DOUBLE
-                       / (0.04 * len(string_split_regex(text, '\s+'))::DOUBLE))
+                       / (0.04 * greatest(
+                            len(regexp_extract_all(text, '\S+'))::DOUBLE, 1.0)))
                    + 0.5 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
                        / greatest(length(text)::DOUBLE, 1.0))
                    END AS quality
@@ -1343,8 +1344,9 @@ def oracle_sql() -> dict[str, str]:
         "normalize_canonical": _normalize_canonical_sql(),
         "set_keys": """
             WITH s AS (SELECT doc_id, text,
-                              list_sort(list_distinct(
-                                string_split(text, ' '))) AS t
+                              list_sort(list_filter(list_distinct(
+                                string_split_regex(text, '\s+')),
+                                x -> x <> '')) AS t
                        FROM documents)
             SELECT doc_id AS record_id,
                    CASE WHEN text IS NULL THEN NULL

@@ -65,9 +65,15 @@ def whole_field(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """predicates.py:353-355 — distinct word tokens."""
+    """predicates.py:353-355 — distinct word tokens.
+
+    Leading/trailing whitespace makes split emit "" entries; those are
+    dropped — a "" block key would co-block every padded record into one
+    mega-block (same contract as first_token's empty-match guard)."""
     c = _c(col)
-    return _empty_if_null(c, F.array_distinct(F.split(c, r"\s+")))
+    return _empty_if_null(
+        c, F.array_remove(F.array_distinct(F.split(c, r"\s+")), "")
+    )
 
 
 def first_token(col: Column | str) -> Column:
@@ -314,7 +320,13 @@ def round_to_1(col: Column | str) -> Column:
     key = (F.round(c / F.pow(F.lit(10.0), exp)) * F.pow(F.lit(10.0), exp)).cast(
         "long"
     ).cast("string")
-    return F.when(c.isNull() | (c == 0), F.array(F.lit("0"))).otherwise(F.array(key))
+    # NULL (incl. failed numeric cast) emits NO keys like every other
+    # predicate — routing nulls into the "0" key would co-block every
+    # missing-value record with every zero-valued record in one
+    # mega-block; only a true 0 takes the "0" key (log10(0) is null)
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(
+        F.when(c == 0, F.array(F.lit("0"))).otherwise(F.array(key))
+    )
 
 
 def latlong_grid(lat: Column | str, lon: Column | str) -> Column:

@@ -28,7 +28,10 @@ BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def ws_tokens(text: Column) -> Column:
-    return F.split(text, r"\s+")
+    """Non-empty whitespace-delimited tokens (\\S+ runs). A split-based
+    tokenizer counts phantom '' tokens on empty or padded text ("" -> 1
+    token, " a " -> 3); extraction counts what's actually there."""
+    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
 
 
 def token_count(text: Column) -> Column:
@@ -46,10 +49,12 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Count of stop-word tokens (null text -> null, not size(null)=-1)."""
     words = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    return F.size(
+    n = F.size(
         F.filter(ws_tokens(F.lower(text)), lambda t: F.array_contains(words, t))
     )
+    return F.when(text.isNull(), F.lit(None).cast("int")).otherwise(n)
 
 
 def alpha_char_count(text: Column) -> Column:
@@ -65,7 +70,9 @@ def quality_score(text: Column) -> Column:
     ratio penalizes symbol/boilerplate soup. Single divides only, so the
     DuckDB oracle reproduces it bit-for-bit.
     """
-    nt = F.size(ws_tokens(text)).cast("double")
+    # greatest(nt, 1): whitespace-only text has 0 tokens now that
+    # ws_tokens extracts \S+ runs — keep the ratio 0, not 0/0
+    nt = F.greatest(F.size(ws_tokens(text)).cast("double"), F.lit(1.0))
     sw = stopword_count(text).cast("double")
     stop_ratio = F.least(F.lit(1.0), sw / (F.lit(0.04) * nt))
     alpha_ratio = alpha_char_count(text).cast("double") / F.greatest(
@@ -82,9 +89,10 @@ def lang_votes(text: Column, lang: str) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Argmax of per-language stop-word hits; deterministic tie-break by
-    language code order en < de < es < fr; 'und' (undetermined) when all
-    votes are zero. A cheap n-gram-free heuristic — the structure (vote
-    arrays + argmax) is what a real fastText-style scorer plugs into."""
+    alphabetical code order (de < en < es < fr — the scan below is over
+    sorted codes with a strict >); 'und' (undetermined) when all votes
+    are zero. A cheap n-gram-free heuristic — the structure (vote arrays
+    + argmax) is what a real fastText-style scorer plugs into."""
     votes = {code: lang_votes(text, code) for code in LANG_STOPWORDS}
     # strict > while scanning codes alphabetically = first-code-wins ties
     out_code, out_votes = F.lit("und"), F.lit(0)

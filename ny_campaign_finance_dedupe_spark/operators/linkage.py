@@ -28,6 +28,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 MAX_MATCH_ITERS = 50
+# bound on the driver-side finish of a pathological matching remnant
+# (cf. clustering.DRIVER_CC_MAX_EDGES): ~24 B/edge, 2M = tens of MB
+DRIVER_MATCH_MAX_EDGES = 2_000_000
 
 
 def gazetteer_topk(
@@ -104,7 +107,40 @@ def greedy_one_to_one(
     # on the final allowed iteration is success (the emptiness test at the
     # top of the loop never runs again once max_iters is exhausted).
     if not remaining.isEmpty():
-        raise RuntimeError(f"greedy_one_to_one: no convergence in {max_iters}")
+        # adversarial score orderings (a monotonically-decreasing chain)
+        # retire only O(1) edges per round, so a >2*max_iters-long chain
+        # survives the loop. Finish the remnant with the SAME greedy
+        # matching computed sequentially on the driver under the same
+        # total order (score desc, src, dst) — output-identical to
+        # continuing the rounds (locally-dominant iteration == greedy by
+        # a total order). A remnant that survives max_iters rounds is a
+        # thin chain, not a dense graph; the collect is bounded anyway.
+        # canonical column order first: the join-key anti-joins above put
+        # "dst" first, and createDataFrame(tuples, schema) binds by position
+        rem = remaining.select("src", "dst", "score")
+        rows = (
+            rem.orderBy(F.desc("score"), F.asc("src"), F.asc("dst"))
+            .limit(DRIVER_MATCH_MAX_EDGES + 1)
+            .collect()
+        )
+        if len(rows) > DRIVER_MATCH_MAX_EDGES:
+            raise RuntimeError(
+                f"greedy_one_to_one: {len(rows)}+ edges after {max_iters} "
+                "rounds — not a chain remnant; raise max_iters"
+            )
+        used_src: set = set()
+        used_dst: set = set()
+        picked = []
+        for r in rows:
+            if r["src"] not in used_src and r["dst"] not in used_dst:
+                used_src.add(r["src"])
+                used_dst.add(r["dst"])
+                picked.append((r["src"], r["dst"], r["score"]))
+        if picked:
+            tail = remaining.sparkSession.createDataFrame(picked, rem.schema)
+            accepted = (
+                tail if accepted is None else accepted.unionByName(tail)
+            )
     if accepted is None:
         return scored.select("src", "dst", "score").limit(0)
     return accepted

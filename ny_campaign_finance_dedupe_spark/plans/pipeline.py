@@ -73,7 +73,12 @@ class PipelineConfig:
 
 
 class DedupePipeline:
-    def __init__(self, config: PipelineConfig, store: CheckpointStore):
+    """Stage methods are pure DataFrame transforms usable without a
+    store (the streaming matcher reuses extract/signatures/block that
+    way); only ``run`` — checkpoint + resume orchestration — needs one.
+    """
+
+    def __init__(self, config: PipelineConfig, store: CheckpointStore | None = None):
         self.cfg = config
         self.store = store
 
@@ -254,6 +259,8 @@ class DedupePipeline:
         ``resume_from='pairs'`` skips extract/block if their checkpoints
         exist with matching params (start_at_clustering semantics).
         """
+        if self.store is None:
+            raise ValueError("DedupePipeline.run requires a CheckpointStore")
         p = self.cfg.params()
         start = STAGES.index(resume_from) if resume_from else 0
 

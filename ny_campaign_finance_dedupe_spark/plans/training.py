@@ -118,11 +118,24 @@ def predicate_cover(
         "block_key",
         "record_id",
     )
-    l = bm.select("predicate", "block_key", F.col("record_id").alias("src"))
-    r = bm.select("predicate", "block_key", F.col("record_id").alias("dst"))
-    co = l.join(r, ["predicate", "block_key"]).where(F.col("src") < F.col("dst"))
+    # join each SIDE of the labeled pairs to the map and match keys —
+    # linear in |true_pairs| x keys/record. (A blocking-map self-join
+    # followed by a semi-join is output-identical but materializes the
+    # FULL co-blocked pair space first: an uncapped hot predicate makes
+    # that ~sum(block^2) rows before the filter — the exact quadratic
+    # blow-up cap_blocks exists to prevent, and labeled pairs are the
+    # tiny side here.)
+    l = true_pairs.select("src", "dst").join(
+        bm.select(F.col("record_id").alias("src"), "predicate", "block_key"),
+        "src",
+    )
     return (
-        co.join(true_pairs.select("src", "dst"), ["src", "dst"], "left_semi")
+        l.join(
+            bm.select(
+                F.col("record_id").alias("dst"), "predicate", "block_key"
+            ),
+            ["dst", "predicate", "block_key"],
+        )
         .select("predicate", "src", "dst")
         .distinct()
     )
@@ -182,7 +195,10 @@ def select_predicates(
     covered: set = set()
     while len(covered) < target and by_pred:
         best, best_ratio = None, 0.0
-        for name, pairs in by_pred.items():
+        # sorted scan + strict > = alphabetically-first wins ratio ties,
+        # independent of dict insertion order (collect() row order is a
+        # partitioning artifact, not a contract)
+        for name, pairs in sorted(by_pred.items()):
             gain = len(pairs - covered)
             if gain == 0:
                 continue
@@ -259,8 +275,10 @@ def branch_bound_predicates(
         reachable = len(covered | frozenset().union(*cands.values()))
         if reachable < target:
             return
+        # name as the final key: collect() row order (hence dict order)
+        # is a partitioning artifact — ties must not depend on it
         pick = max(
-            cands, key=lambda p: (len(cands[p]), -cost_map.get(p, 1.0))
+            cands, key=lambda p: (len(cands[p]), -cost_map.get(p, 1.0), p)
         )
         # include branch
         search(

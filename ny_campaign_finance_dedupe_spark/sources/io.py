@@ -15,9 +15,11 @@
 
 from __future__ import annotations
 
+import codecs
 import json
 from pathlib import Path
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
@@ -35,23 +37,53 @@ def read_fixed_csv(
     ``columns`` is a list of names (all string-typed, like the raw BOE
     load) or (name, sparkType) tuples.
     """
-    # Spark's CSVOptions takes canonical charset names only
-    enc = {"latin-1": "iso-8859-1", "latin1": "iso-8859-1",
-           "unicode_escape": "utf-8"}.get(encoding.lower(), encoding)
-    encoding = enc
+    # Spark's CSVOptions takes canonical charset names only.
+    # python-style `unicode_escape` (the reference's all_txt_to_csv.py
+    # dump format: ASCII bytes carrying \uXXXX / \xNN escapes) is not a
+    # JVM charset — read the ASCII-compatible bytes as UTF-8, then
+    # decode the escapes per string column (Arrow-batched, cold path).
+    unescape = encoding.lower() == "unicode_escape"
+    encoding = {"latin-1": "iso-8859-1", "latin1": "iso-8859-1",
+                "unicode_escape": "utf-8"}.get(encoding.lower(), encoding)
     fields = [
         T.StructField(c, T.StringType(), True)
         if isinstance(c, str)
         else T.StructField(c[0], getattr(T, c[1])(), True)
         for c in columns
     ]
-    return (
+    df = (
         spark.read.schema(T.StructType(fields))
         .option("header", "false")
         .option("encoding", encoding)
         .option("sep", delimiter)
         .csv(path)
     )
+    if unescape:
+        ue = _unicode_unescape_udf()
+        df = df.select(
+            *[
+                ue(F.col(f.name)).alias(f.name)
+                if isinstance(f.dataType, T.StringType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    return df
+
+
+def _unicode_unescape_udf():
+    """codecs 'unicode_escape' per cell; non-string columns untouched."""
+
+    @F.pandas_udf("string")
+    def _ue(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else codecs.decode(v.encode("latin-1", "backslashreplace"),
+                               "unicode_escape")
+        )
+
+    return _ue
 
 
 def write_csv_snapshot(df: DataFrame, path: str) -> None:

@@ -34,9 +34,8 @@ def build_index(pages: DataFrame, cfg) -> DataFrame:
     Gazetteer for the same reason, blocking.py:48-104).
     """
     from ..plans.pipeline import DedupePipeline
-    from ..sources.checkpoint import CheckpointStore
 
-    pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
+    pipe = DedupePipeline(cfg)
     extracted = pipe.extract(pages)
     bm = pipe.block(pipe.signatures(extracted))
     # ntext hydrates from the extract output — the signatures stage is
@@ -60,9 +59,8 @@ def match_batch(
     (which is how the tests drive it deterministically).
     """
     from ..plans.pipeline import DedupePipeline
-    from ..sources.checkpoint import CheckpointStore
 
-    pipe = DedupePipeline(cfg, CheckpointStore.__new__(CheckpointStore))
+    pipe = DedupePipeline(cfg)
     ext = pipe.extract(batch)
     bm = pipe.block(pipe.signatures(ext))
     qk = bm.join(

@@ -203,6 +203,28 @@ def test_textstats_goldens(spark):
     assert 0.0 <= rows[1]["q"] <= 1.0
 
 
+def test_textstats_degenerate_text(spark):
+    # empty / whitespace-padded text: counts reflect actual tokens (no
+    # phantom '' from split), quality stays defined, nulls stay null
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "  the cat  "), (4, None)],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textstats.token_count(F.col("text")).alias("tc"),
+            textstats.stopword_count(F.col("text")).alias("sw"),
+            textstats.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1]["tc"] == 0 and out[2]["tc"] == 0
+    assert out[3]["tc"] == 2 and out[3]["sw"] == 1
+    assert out[1]["q"] == 0.0  # 0 stopwords, 0 alpha chars, no 0/0
+    assert out[4]["tc"] is None and out[4]["sw"] is None and out[4]["q"] is None
+
+
 def test_multimodal_features_deterministic(spark):
     rows = [
         ("m1", b"\x00\x01\x02" * 50, "image/png", 10, 10),

@@ -23,6 +23,17 @@ def test_read_fixed_csv_latin1(spark, tmp_path):
     assert rows == {"1": "café", "2": "b"}
 
 
+def test_read_fixed_csv_unicode_escape(spark, tmp_path):
+    # all_txt_to_csv.py dump shape: ASCII bytes carrying \uXXXX escapes
+    p = tmp_path / "esc.csv"
+    p.write_bytes(b"1,caf\\xe9,x\n2,\\u00dcber,y\n")
+    df = nio.read_fixed_csv(
+        spark, str(p), ["id", "name", "flag"], encoding="unicode_escape"
+    )
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {"1": "café", "2": "Über"}
+
+
 def test_csv_snapshot_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
     out = tmp_path / "snap"

@@ -55,6 +55,8 @@ def test_order_of_magnitude(spark):
 def test_round_to_1(spark):
     assert keys(spark, keygen.round_to_1, 4501.0, typ="double") == {"5000"}
     assert keys(spark, keygen.round_to_1, 0.0, typ="double") == {"0"}
+    # nulls emit NO keys (module contract) — not the "0" mega-block
+    assert keys(spark, keygen.round_to_1, None, typ="double") == set()
 
 
 def test_latlong_grid(spark):
