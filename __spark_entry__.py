@@ -1200,7 +1200,8 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
                                         ORDER BY COUNT(*) DESC, c_mktsegment)
                        AS rn
-              FROM customer GROUP BY c_nationkey, c_mktsegment)
+              FROM customer WHERE c_mktsegment IS NOT NULL
+              GROUP BY c_nationkey, c_mktsegment)
             WHERE rn = 1 ORDER BY cluster_id
         """,
         "pricing_summary": """

@@ -450,24 +450,27 @@ def _dm(word: str, max_length: int | None = 4) -> tuple[str, str]:
             if st(cur, 2, "WR"):  # can also be in middle of word
                 add("R")
                 cur += 2
-            elif cur == 0 and (vowel(cur + 1) or st(cur, 2, "WH")):
-                if vowel(cur + 1):  # Wasserman should match Vasserman
-                    add("A", "F")
-                else:  # need Uomo to match Womo
-                    add("A")
-                cur += 1
-            elif (
-                (cur == last and vowel(cur - 1))
-                or st(cur - 1, 5, "EWSKI", "EWSKY", "OWSKI", "OWSKY")
-                or st(0, 3, "SCH")
-            ):  # Arnow should match Arnoff
-                add("", "F")
-                cur += 1
-            elif st(cur, 4, "WICZ", "WITZ"):  # polish 'filipowicz'
-                add("TS", "FX")
-                cur += 4
             else:
-                cur += 1
+                if cur == 0 and (vowel(cur + 1) or st(cur, 2, "WH")):
+                    if vowel(cur + 1):  # Wasserman should match Vasserman
+                        add("A", "F")
+                    else:  # need Uomo to match Womo
+                        add("A")
+                    # no advance: the original FALLS THROUGH, so an
+                    # initial WICZ/WITZ (Witz-, Wicz- surnames) still
+                    # reaches the polish rule below
+                if (
+                    (cur == last and vowel(cur - 1))
+                    or st(cur - 1, 5, "EWSKI", "EWSKY", "OWSKI", "OWSKY")
+                    or st(0, 3, "SCH")
+                ):  # Arnow should match Arnoff
+                    add("", "F")
+                    cur += 1
+                elif st(cur, 4, "WICZ", "WITZ"):  # polish 'filipowicz'
+                    add("TS", "FX")
+                    cur += 4
+                else:
+                    cur += 1
         elif ch == "X":
             # french: 'breaux'
             if not (

@@ -64,21 +64,61 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 # that can exceed it must use the distributed path (lsh/banded join).
 MAX_COLLECT_ROWS = 2_000_000
 
+# Per-task GEMM output tile bound: the (arrow_batch x n_broadcast) sims
+# matrix is materialized in column tiles of at most this many float64
+# elements (~128 MiB), so executor memory stays bounded no matter how
+# large the (contract-legal) broadcast side is — 20k-row Arrow batches
+# against a 2M-row build side would otherwise allocate 320 GB per task.
+GEMM_TILE_ELEMS = 16 * 1024 * 1024
+
+_ANN_BROADCASTS: list = []  # weakrefs (cf. scoring._IDF_BROADCASTS)
+
+
+def release_ann_broadcasts() -> None:
+    """Destroy (ids, matrix) broadcasts created by ``brute_force_topk`` /
+    ``cosine_neardup_pairs`` that are still alive — the eager-release
+    hook for long-lived sessions running many ANN plans (same contract
+    as scoring.release_idf_broadcasts: call after results materialize;
+    plans built before the release must not re-execute afterwards)."""
+    while _ANN_BROADCASTS:
+        b = _ANN_BROADCASTS.pop()()
+        if b is not None:
+            try:
+                b.destroy()
+            except Exception:
+                pass
+
+
+def _register_broadcast(bc) -> None:
+    import weakref
+
+    _ANN_BROADCASTS.append(weakref.ref(bc))
+
+
+def _tile_cols(n_rows: int, elems: int) -> int:
+    """Column-tile width so a (n_rows x tile) float64 block stays under
+    ``elems``; a floor keeps the matmul BLAS-fat. ``elems`` is captured
+    at plan-build time (GEMM_TILE_ELEMS) so tests can force multi-tile."""
+    return max(64, elems // max(1, n_rows))
+
 
 def _matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLECT_ROWS):
     """Driver-side (ids, row-normalized float64 matrix) for the SMALL
     side of a similarity plan. The collected side must fit the driver —
     same contract as any broadcast join build side, ENFORCED: refuses to
-    collect more than ``max_rows`` (fail fast beats a driver OOM)."""
-    n = df.count()
-    if n > max_rows:
+    collect more than ``max_rows`` (fail fast beats a driver OOM).
+    Single evaluation of the input lineage: the bound is enforced by the
+    ``limit(max+1)`` collect itself, not a separate count job."""
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"_matrix: refusing to collect {n} rows to the driver "
-            f"(max {max_rows}); use the distributed plan (lsh_topk / "
-            f"bucketed cosine_neardup_pairs) for a side this large"
+            f"_matrix: refusing to collect >{max_rows} rows to the "
+            f"driver; use the distributed plan (lsh_topk / bucketed "
+            f"cosine_neardup_pairs) for a side this large"
         )
-    pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
     m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return ids, _norm_rows(m)
 
@@ -149,7 +189,6 @@ def brute_force_topk(
 
     spark = corpus.sparkSession
     q_ids, q_mat = _matrix(queries, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
     id_type = corpus.schema[id_col].dataType
 
     out_schema = T.StructType(
@@ -159,6 +198,11 @@ def brute_force_topk(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if len(q_ids) == 0:  # an empty query side is an empty result, not
+        return spark.createDataFrame([], out_schema)  # a vstack crash
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    _register_broadcast(bc)
+    tile_elems = GEMM_TILE_ELEMS  # captured: executors see the build-time value
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bc.value
@@ -168,25 +212,34 @@ def brute_force_topk(
             cm = _norm_rows(
                 np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
             )
-            sims = cm @ qm.T  # (n_batch, n_q)
             nb = pdf[id_col].to_numpy()
-            kk = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
-            # batch-local prune must use the SAME total order as the
-            # global window — (cosine desc, neighbor_id asc) — or ties
-            # straddling the kk boundary make output depend on partition
-            # boundaries (determinism contract of scaling_bench).
+            kk = min(k + 1, cm.shape[0])  # +1 absorbs a self-match
+            # query-tile loop: sims is (n_batch x n_q) materialized a
+            # column tile at a time so executor memory stays bounded at
+            # the broadcast contract's 2M-query ceiling; per-query top-k
+            # never needs other queries' columns.
             frames = []
-            for qi_idx in range(sims.shape[1]):
-                order = np.lexsort((nb, -sims[:, qi_idx]))[:kk]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(ids[qi_idx], len(order)),
-                            "neighbor_id": nb[order],
-                            "cosine": sims[order, qi_idx],
-                        }
+            tile = _tile_cols(cm.shape[0], tile_elems)
+            for lo in range(0, qm.shape[0], tile):
+                sims = cm @ qm[lo : lo + tile].T  # (n_batch, tile)
+                # batch-local prune must use the SAME total order as the
+                # global window — (cosine desc, neighbor_id asc) — or
+                # ties straddling the kk boundary make output depend on
+                # partition boundaries (determinism contract of
+                # scaling_bench).
+                for qi_idx in range(sims.shape[1]):
+                    order = np.lexsort((nb, -sims[:, qi_idx]))[:kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(
+                                    ids[lo + qi_idx], len(order)
+                                ),
+                                "neighbor_id": nb[order],
+                                "cosine": sims[order, qi_idx],
+                            }
+                        )
                     )
-                )
             out = pd.concat(frames, ignore_index=True)
             yield out[out["query_id"] != out["neighbor_id"]]
 
@@ -293,7 +346,9 @@ def lsh_topk(
     re-rank within candidates. Same output schema as brute_force_topk.
     ``portable=True`` swaps the gaussian-seeded planes for the md5/±1
     integer-exact family (portable_bucket_keys) — the oracle-checkable
-    variant; identical plan.
+    variant; identical plan. The portable family is a FIXED hash family
+    (its planes are md5-derived constants), so ``seed`` is ignored when
+    ``portable=True`` — sweep (bands, bits) instead to vary its recall.
 
     Shuffle shape: the candidate stage carries (id, bucket) ONLY — a
     vector colliding in several bands would otherwise ride the exchange
@@ -409,6 +464,10 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     max_broadcast_rows: int = NEARDUP_BROADCAST_MAX_ROWS,
     exact: bool | None = None,
+    dim: int | None = None,
+    bands: int = 16,
+    bits: int = 8,
+    seed: int = 11,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (src < dst).
 
@@ -425,31 +484,45 @@ def cosine_neardup_pairs(
     beats a silent ~0.5% recall loss), False forces the bucketed plan.
     The default (None) keeps the size-adaptive choice but WARNS when it
     degrades to the approximate plan, so the "all pairs >= threshold"
-    contract never weakens silently. The size probe is a bounded
-    ``limit(max+1).count()``, not a full count over the corpus."""
-    if exact is not None and not exact:  # False or falsy: force bucketed
+    contract never weakens silently. One evaluation of the input
+    lineage either way: the adaptive probe IS the driver collect
+    (``limit(max+1).toPandas``), reused as the broadcast matrix when it
+    fits. ``dim``/``bands``/``bits``/``seed`` tune the bucketed plan
+    (ignored by the exact GEMM, which has no knobs)."""
+    def bucketed() -> DataFrame:
         return cosine_neardup_bucketed(
-            df, id_col, vec_col, threshold
+            df, id_col, vec_col, threshold,
+            dim=dim, bands=bands, bits=bits, seed=seed,
         ).select("src", "dst", "cosine")
-    if exact is None and (
-        df.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
-    ):
-        import warnings
 
-        warnings.warn(
-            f"cosine_neardup_pairs: corpus exceeds "
-            f"{max_broadcast_rows} rows; degrading to the "
-            f"LSH-bucketed approximate plan (~0.5% recall loss at "
-            f"threshold 0.9). Pass exact=False to silence, or "
-            f"exact=True to force the exact plan.",
-            stacklevel=2,
-        )
-        return cosine_neardup_bucketed(
-            df, id_col, vec_col, threshold
-        ).select("src", "dst", "cosine")
+    if exact is not None and not exact:  # False or falsy: force bucketed
+        return bucketed()
     spark = df.sparkSession
-    ids, mat = _matrix(df, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if exact is None:
+        probe = df.select(id_col, vec_col).limit(max_broadcast_rows + 1)
+        pdf = probe.toPandas()
+        if len(pdf) > max_broadcast_rows:
+            import warnings
+
+            warnings.warn(
+                f"cosine_neardup_pairs: corpus exceeds "
+                f"{max_broadcast_rows} rows; degrading to the "
+                f"LSH-bucketed approximate plan (~0.5% recall loss at "
+                f"threshold 0.9). Pass exact=False to silence, or "
+                f"exact=True to force the exact plan.",
+                stacklevel=2,
+            )
+            return bucketed()
+        ids = pdf[id_col].to_numpy()
+        mat = (
+            np.zeros((0, 0), dtype=np.float64)
+            if len(pdf) == 0
+            else _norm_rows(
+                np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            )
+        )
+    else:
+        ids, mat = _matrix(df, id_col, vec_col)
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -458,6 +531,11 @@ def cosine_neardup_pairs(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if len(ids) == 0:
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    _register_broadcast(bc)
+    tile_elems = GEMM_TILE_ELEMS  # captured: executors see the build-time value
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, m = bc.value
@@ -467,14 +545,22 @@ def cosine_neardup_pairs(
             cm = _norm_rows(
                 np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
             )
-            sims = cm @ m.T  # (n_batch, n_all)
             rows = pdf[id_col].to_numpy()
-            ri, ci = np.nonzero(sims >= threshold)
-            src = rows[ri]
-            dst = all_ids[ci]
-            keep = src < dst
-            yield pd.DataFrame(
-                {"src": src[keep], "dst": dst[keep], "cosine": sims[ri, ci][keep]}
-            )
+            # column-tile the (n_batch x n_all) sims block: bounded
+            # executor memory at any contract-legal broadcast size
+            tile = _tile_cols(cm.shape[0], tile_elems)
+            for lo in range(0, m.shape[0], tile):
+                sims = cm @ m[lo : lo + tile].T  # (n_batch, tile)
+                ri, ci = np.nonzero(sims >= threshold)
+                src = rows[ri]
+                dst = all_ids[lo + ci]
+                keep = src < dst
+                yield pd.DataFrame(
+                    {
+                        "src": src[keep],
+                        "dst": dst[keep],
+                        "cosine": sims[ri, ci][keep],
+                    }
+                )
 
     return df.select(id_col, vec_col).mapInPandas(gemm, schema=out_schema)

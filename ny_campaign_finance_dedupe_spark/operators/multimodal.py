@@ -66,20 +66,40 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) / PGM (P5) -> (h, w, 3|1) uint8. Pure parsing."""
-    import re
+    """Binary PPM (P6) / PGM (P5) -> (h, w, 3|1) uint8. Pure parsing.
 
-    m = re.match(
-        rb"(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", payload
-    )
-    if not m:
+    Header is tokenized, not regex-matched: the PNM spec allows '#'
+    comments before ANY of the width/height/maxval tokens (a regex that
+    only permits them after the magic rejects valid scanner output).
+    Exactly one whitespace byte separates maxval from the raster."""
+    kind = payload[:2]
+    if kind not in (b"P5", b"P6") or not (
+        payload[2:3].isspace() or payload[2:3] == b"#"
+    ):
         raise ValueError("not a binary PPM/PGM payload")
-    kind, w, h, maxv = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    pos, n, vals = 2, len(payload), []
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("not a binary PPM/PGM payload")
+        vals.append(int(payload[start:pos]))
+    if pos >= n or not payload[pos : pos + 1].isspace():
+        raise ValueError("not a binary PPM/PGM payload")
+    pos += 1
+    w, h, maxv = vals
     if maxv > 255:
         raise NotImplementedError("16-bit PNM")
     ch = 3 if kind == b"P6" else 1
     return np.frombuffer(
-        payload, dtype=np.uint8, count=w * h * ch, offset=m.end()
+        payload, dtype=np.uint8, count=w * h * ch, offset=pos
     ).reshape(h, w, ch)
 
 

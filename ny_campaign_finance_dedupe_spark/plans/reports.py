@@ -78,9 +78,16 @@ def canonical_value_per_cluster(
 ) -> DataFrame:
     """A7 (post_processing/initial_analysis.py:34-38): modal value per
     cluster — count + row_number window (deterministic tie-break by
-    value) rather than F.mode so ties are stable across engines."""
-    counts = entity_map_payload.groupBy("cluster_id", value_col).agg(
-        F.count("*").alias("cnt")
+    value) rather than F.mode so ties are stable across engines.
+
+    NULLs are not modal candidates: Spark's asc sort is nulls-FIRST, so
+    an unfiltered NULL group would beat any equally-common real value
+    (and engines disagree on null sort order — DuckDB defaults LAST). A
+    cluster whose every value is NULL gets no row."""
+    counts = (
+        entity_map_payload.where(F.col(value_col).isNotNull())
+        .groupBy("cluster_id", value_col)
+        .agg(F.count("*").alias("cnt"))
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("cnt"), F.asc(value_col)

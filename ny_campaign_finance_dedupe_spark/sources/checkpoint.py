@@ -62,6 +62,13 @@ class TableFormat:
 
     name = "abstract"
 
+    def target(self, root: str, run_id: str, stage: str) -> str:
+        """Physical target for a logical (run_id, stage): a filesystem
+        path for file formats, a catalog table IDENTIFIER for Iceberg —
+        the store never assumes which (a path spliced into an identifier
+        is a ParseException on any real catalog)."""
+        raise NotImplementedError
+
     def write(self, df: DataFrame, target: str, partition_by=()) -> None:
         raise NotImplementedError
 
@@ -76,6 +83,9 @@ class ParquetFormat(TableFormat):
     test_checkpoint_partition_pruning)."""
 
     name = "parquet"
+
+    def target(self, root: str, run_id: str, stage: str) -> str:
+        return str(Path(root) / run_id / stage / "data")
 
     def write(self, df: DataFrame, target: str, partition_by=()) -> None:
         w = df.write.mode("overwrite")
@@ -113,8 +123,10 @@ class IcebergFormat(TableFormat):
 
     name = "iceberg"
 
-    def __init__(self, spark: SparkSession, catalog: str):
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "checkpoints"):
         self.catalog = catalog
+        self.namespace = namespace
         impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
         if not impl:
             raise RuntimeError(
@@ -124,17 +136,22 @@ class IcebergFormat(TableFormat):
                 "use ParquetFormat."
             )
 
-    def _ident(self, target: str) -> str:
-        return f"{self.catalog}.{target}"
+    def target(self, root: str, run_id: str, stage: str) -> str:
+        """Logical (run_id, stage) -> ``catalog.namespace.r<run>_<stage>``
+        — the store's filesystem ``root`` plays no part (tables live
+        where the catalog puts them); every non-identifier char in the
+        caller-supplied run_id is folded to '_'."""
+        safe = "".join(c if c.isalnum() else "_" for c in run_id)
+        return f"{self.catalog}.{self.namespace}.r{safe}_{stage}"
 
     def write(self, df: DataFrame, target: str, partition_by=()) -> None:
-        w = df.writeTo(self._ident(target)).using("iceberg")
+        w = df.writeTo(target).using("iceberg")
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.createOrReplace()
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:
-        return spark.read.table(self._ident(target))
+        return spark.read.table(target)
 
 
 class CheckpointStore:
@@ -158,7 +175,9 @@ class CheckpointStore:
         return self.root / self.run_id / stage
 
     def _data_path(self, stage: str) -> str:
-        return str(self._stage_dir(stage) / "data")
+        # the format owns the logical->physical mapping: a directory for
+        # file formats, a catalog identifier for Iceberg
+        return self.fmt.target(str(self.root), self.run_id, stage)
 
     def _meta_path(self, stage: str) -> Path:
         return self._stage_dir(stage) / "meta.json"

@@ -139,8 +139,15 @@ def _gen_batch(pdfs: Iterator[pd.DataFrame], *, seed: int, dup_rate: float,
             ent_rng = np.random.default_rng((seed << 20) ^ 0x5EED ^ entity)
             words = _entity_words(ent_rng, entity)
             if entity != pid:
-                words = _mutate(rng, words)
-                text = _render(rng, words)
+                mutated = _mutate(rng, words)
+                if mutated == words:
+                    # the exact-duplicate mutation class must be BYTE
+                    # identical to the anchor page's rendering; routing
+                    # it through _render's per-token noise made an
+                    # "exact" copy identical only with p ~ 0.89^n_tokens
+                    text = " ".join(words)
+                else:
+                    text = _render(rng, mutated)
             else:
                 text = " ".join(words)
             # dup copies stay on the entity's domain 85% of the time: the

@@ -125,3 +125,21 @@ def test_cc_driver_and_distributed_paths_agree(spark):
         for r in C.connected_components(df, driver_max_edges=0).collect()
     }
     assert fast == slow
+
+
+def test_canonical_mode_ignores_nulls(spark):
+    from ny_campaign_finance_dedupe_spark.plans import reports
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, None), (1, "acme corp"), (1, "acme co"),
+         (2, None), (2, None),
+         (3, "b"), (3, "a")],
+        "cluster_id long, name string",
+    )
+    got = {
+        r["cluster_id"]: r["canonical_value"]
+        for r in reports.canonical_value_per_cluster(df, "name").collect()
+    }
+    # NULL (3 occurrences) must not beat the real values in cluster 1;
+    # all-NULL cluster 2 yields no row; ties break ascending (cluster 3)
+    assert got == {1: "acme co", 3: "a"}

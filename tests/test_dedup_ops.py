@@ -167,6 +167,50 @@ def test_lsh_candidate_shuffles_are_ids_only(spark, vecs):
         assert not any(t.startswith("array") for t in names.values()), names
 
 
+def test_ann_empty_inputs(spark, vecs):
+    empty = vecs.limit(0)
+    assert ann.brute_force_topk(empty, vecs, k=2).count() == 0
+    assert ann.brute_force_topk(vecs, empty, k=2).count() == 0
+    assert ann.cosine_neardup_pairs(empty, threshold=0.9).count() == 0
+    assert ann.cosine_neardup_pairs(empty, threshold=0.9, exact=True).count() == 0
+
+
+def test_gemm_tiling_matches_untiled(spark, monkeypatch):
+    # force multi-tile GEMMs (tile width floors at 64 columns) on a
+    # >64-vector corpus; results must be identical to the one-tile plan
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base_nd = {
+        (r["src"], r["dst"], round(r["cosine"], 12))
+        for r in ann.cosine_neardup_pairs(df, threshold=0.5).collect()
+    }
+    base_tk = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann.brute_force_topk(df.limit(20), df, k=3).collect()
+    }
+    monkeypatch.setattr(ann, "GEMM_TILE_ELEMS", 1)  # tile = 64 cols
+    tiled_nd = {
+        (r["src"], r["dst"], round(r["cosine"], 12))
+        for r in ann.cosine_neardup_pairs(df, threshold=0.5).collect()
+    }
+    tiled_tk = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann.brute_force_topk(df.limit(20), df, k=3).collect()
+    }
+    assert base_nd == tiled_nd and len(base_nd) > 0
+    assert base_tk == tiled_tk and len(base_tk) == 60
+
+
+def test_release_ann_broadcasts(spark, vecs):
+    ann.cosine_neardup_pairs(vecs, threshold=0.9).collect()
+    assert len(ann._ANN_BROADCASTS) >= 1
+    ann.release_ann_broadcasts()
+    assert len(ann._ANN_BROADCASTS) == 0
+
+
 def test_cosine_neardup_exact_flag(spark, vecs):
     import warnings
 

@@ -81,11 +81,26 @@ def test_simhash_families_agree_on_planted_truth(corpus):
     # 64-bit xxhash vs 32-bit md5 simhash: same operator, same corpus.
     # hamming <= 3 is a TIGHT criterion on mutated pages (planted edits
     # flip more simhash bits than that), so absolute recall is low for
-    # both by design; the equivalence claim is that the families see the
-    # same slice of the truth — recall within 0.05 of each other, and
-    # both catch the byte-identical dups (hamming 0) perfectly
+    # both by design; the equivalence claim is that the families see
+    # roughly the same slice of the truth (marginal band collisions are
+    # family-specific — the 0.08 bound is statistical, n_true ~ 250)
     assert rf > 0 and rp > 0, (rf, rp)
-    assert abs(rf - rp) <= 0.05, (rf, rp)
+    assert abs(rf - rp) <= 0.08, (rf, rp)
+    # ...and the NON-statistical half: byte-identical dups are hamming 0
+    # under any family — both must catch 100% of them
+    texts = docs.select(F.col("doc_id").alias("url_a"),
+                        F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("url_b"),
+                     F.col("text").alias("tb"))
+    exact_truth = (
+        truth.join(texts, "url_a").join(tb, "url_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("url_a", "url_b")
+        .localCheckpoint()
+    )
+    assert exact_truth.count() > 0  # synth must plant byte-identical dups
+    assert _candidate_recall(fast, exact_truth) == 1.0
+    assert _candidate_recall(port, exact_truth) == 1.0
 
 
 def test_pipeline_equivalent_under_either_family(spark):

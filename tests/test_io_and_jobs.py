@@ -140,6 +140,35 @@ def test_iceberg_format_fails_fast_without_catalog(spark, tmp_path):
         IcebergFormat(spark, "nosuch_catalog")
 
 
+def test_iceberg_target_is_identifier_not_path(spark):
+    """The store's logical (run_id, stage) must map to a parseable
+    catalog identifier — splicing the filesystem path in would be a
+    ParseException on any real catalog."""
+    import re
+
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import (
+        CheckpointStore,
+        IcebergFormat,
+    )
+
+    spark.conf.set(
+        "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        fmt = IcebergFormat(spark, "lake")
+        store = CheckpointStore(
+            "/scratch/ckpt", run_id="run-7f.x", table_format=fmt
+        )
+        ident = store._data_path("block")
+        assert ident == "lake.checkpoints.rrun_7f_x_block"
+        assert all(
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part)
+            for part in ident.split(".")
+        )
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+
+
 def test_checkpoint_resume_with_partitioned_stage(spark, tmp_path):
     """Resume semantics are format-independent: a partitioned stage
     written once is reused by has()+read() with identical rows."""

@@ -28,6 +28,12 @@ VECTORS = [
     ("ghislane", "JLN", ""),
     ("knight", "NT", ""),
     ("9301", "", ""),
+    # initial-W fall-through: the cur==0 vowel branch must NOT consume
+    # the W, so Witz-/Wicz- surnames still reach the polish WICZ/WITZ
+    # rule ('ATS'/'FFX', not 'ATS'/'FTS')
+    ("WITZ", "ATS", "FFX"),
+    ("WICZ", "ATS", "FFX"),
+    ("FILIPOWICZ", "FLPT", "FLPF"),
     # truncation counts accumulated code CHARS, not segments: the
     # Spanish-LL rule emits an empty secondary segment, so a
     # segment-count guard would stop before the final S (AKR, not AKRS)

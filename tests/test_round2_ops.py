@@ -505,6 +505,20 @@ def test_real_ppm_and_resize():
     assert img.shape == (2, 4, 3) and img[0, 0, 2] == 30
     small = multimodal.resize_nearest(img, 2, 1)
     assert small.shape == (1, 2, 3)
+    # spec-valid: '#' comments may appear before ANY header token, and
+    # tokens may be split across lines
+    commented = (
+        b"P6\n# scanner model X\n4\n# width above, height next\n2 # inline\n"
+        b"255\n" + bytes([10, 20, 30] * 8)
+    )
+    img2 = multimodal.decode_ppm(commented)
+    assert (img2 == img).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6garbage")
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"JUNK")
 
 
 def test_real_wav_decode_and_windowing(spark):
