@@ -71,11 +71,28 @@ def _documents_as_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def _scratch_mkdtemp(prefix: str) -> str:
+    """Checkpoint dirs for entry()/queries() live under the session
+    scratch and are reaped at interpreter exit: the returned DataFrames
+    read the checkpoint files lazily, so eager deletion would break the
+    caller, but leaving one dir per driver/gate invocation accumulates
+    dead parquet across a long session."""
+    import atexit
+    import shutil
+
+    from ny_campaign_finance_dedupe_spark.session import scratch_dir
+
+    os.makedirs(scratch_dir(), exist_ok=True)
+    d = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full checkpointed dedupe pipeline over sf0.001 documents."""
     docs = _t(spark, DEFAULT_SF_DIR, "documents")
     pages = _documents_as_pages(docs)
-    store = CheckpointStore(tempfile.mkdtemp(prefix="nycfd_entry_"))
+    store = CheckpointStore(_scratch_mkdtemp("nycfd_entry_"))
     pipe = DedupePipeline(PipelineConfig(), store)
     entity_map = pipe.run(spark, pages)
     return entity_map.select("record_id", "cluster_id", "cluster_score")
@@ -319,7 +336,9 @@ def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 32)
     return (
-        ann.brute_force_topk(q, emb, "vec_id", "embedding", k=3)
+        ann.brute_force_topk(
+            q, emb, "vec_id", "embedding", k=3, round_decimals=9
+        )
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
@@ -447,7 +466,8 @@ def q_lsh_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 32)
     return (
-        ann.lsh_topk(q, emb, dim=64, k=3, bands=8, bits=8, portable=True)
+        ann.lsh_topk(q, emb, dim=64, k=3, bands=8, bits=8, portable=True,
+                     round_decimals=9)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
@@ -697,7 +717,7 @@ def q_er_pipeline(spark, sf_dir):
     configuration (bench path) runs the identical plan."""
     docs = _t(spark, sf_dir, "documents")
     pages = _documents_as_pages(docs)
-    store = CheckpointStore(tempfile.mkdtemp(prefix="nycfd_q_"))
+    store = CheckpointStore(_scratch_mkdtemp("nycfd_q_"))
     pipe = DedupePipeline(_portable_cfg(), store)
     em = pipe.run(spark, pages)
     return em.select("record_id", "cluster_id").orderBy("record_id")
@@ -1014,9 +1034,16 @@ def _greedy_link_sql(rounds: int = 16) -> str:
     union = " UNION ALL ".join(
         f"SELECT src, dst FROM dom{k}" for k in range(1, rounds + 1)
     )
+    # unconverged-remnant sentinel: if rem{rounds} is non-empty the
+    # unroll was too shallow — emit an impossible (-1,-1) row so the gate
+    # fails LOUDLY on a depth shortfall instead of silently missing the
+    # pairs the Spark side (which always runs to convergence) returns
+    poison = (
+        f" UNION ALL (SELECT -1 AS src, -1 AS dst FROM rem{rounds} LIMIT 1)"
+    )
     return (
         base + "," + ",".join(parts)
-        + f" SELECT src, dst FROM ({union}) ORDER BY src, dst"
+        + f" SELECT src, dst FROM ({union}{poison}) ORDER BY src, dst"
     )
 
 
@@ -1462,7 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_pipeline": _er_pipeline_sql(),
         "incremental_match": _incremental_match_sql(),
-        "greedy_link": _greedy_link_sql(16),
+        "greedy_link": _greedy_link_sql(24),
         "phonetic_keys": r"""
             WITH fw AS (SELECT doc_id,
                                regexp_extract(text, '^([\w'']+)', 1) AS w
@@ -1598,7 +1625,8 @@ def oracle_sql() -> dict[str, str]:
                      FROM pat a JOIN pat c ON a.b = c.b AND a.pat = c.pat
                      WHERE a.vec_id < 32 AND a.vec_id <> c.vec_id),
             sc AS (SELECT query_id, neighbor_id,
-                          list_cosine_similarity(qa.v, qb.v) AS cosine
+                          ROUND(list_cosine_similarity(qa.v, qb.v), 9)
+                            AS cosine
                    FROM cand JOIN qv qa ON qa.vec_id = cand.query_id
                              JOIN qv qb ON qb.vec_id = cand.neighbor_id)
             SELECT query_id, neighbor_id, rank FROM (
@@ -1613,9 +1641,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY a.vec_id
-                       ORDER BY list_cosine_similarity(
+                       ORDER BY ROUND(list_cosine_similarity(
                            CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+                           CAST(b.embedding AS DOUBLE[])), 9)
+                         DESC, b.vec_id) AS rank
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
               WHERE a.vec_id < 32)
             WHERE rank <= 3 ORDER BY query_id, rank

@@ -89,11 +89,22 @@ def _fast_er(spark, sf_dir):
         CheckpointStore,
     )
 
+    from ny_campaign_finance_dedupe_spark.session import scratch_dir
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = entry_mod._documents_as_pages(docs)
-    store = CheckpointStore(tempfile.mkdtemp(prefix="nycfd_benchq_"))
+    os.makedirs(scratch_dir(), exist_ok=True)
+    store = CheckpointStore(
+        tempfile.mkdtemp(prefix="nycfd_benchq_", dir=scratch_dir())
+    )
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
+    # the returned DF reads the cluster checkpoint lazily, so removal
+    # must wait until _time_df has counted it
+    _SCRATCH_STORES.append(store.root)
     return em.select("record_id", "cluster_id")
+
+
+_SCRATCH_STORES: list = []  # checkpoint dirs to rmtree after materialization
 
 
 BENCH_VARIANT = {
@@ -127,6 +138,9 @@ def main() -> None:
     # JVM/py4j warm-up so q1 doesn't absorb session start cost
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    import shutil
+
+    failed: list[str] = []
     for name in HEADLINE:
         fn = BENCH_VARIANT.get(name, qs.get(name))
         try:
@@ -135,6 +149,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"# bench {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+            failed.append(name)
+        while _SCRATCH_STORES:
+            shutil.rmtree(_SCRATCH_STORES.pop(), ignore_errors=True)
 
     # flagship throughput: full ER pipeline over synthetic pages
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
@@ -156,27 +173,30 @@ def main() -> None:
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     n_out = em.count()
     er_secs = time.perf_counter() - t0
-    import shutil
-
     shutil.rmtree(store.root, ignore_errors=True)
     timings["er_pipeline_synth"] = round(er_secs, 3)
     pages_per_sec = n_bench_pages / er_secs if er_secs > 0 else 0.0
 
-    total = sum(v for v in timings.values() if v > 0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pages_per_sec": round(pages_per_sec, 1),
-                "bench_pages": n_bench_pages,
-                "er_entity_map_rows": n_out,
-            }
-        )
-    )
+    # total over all timings (er_pipeline_synth included — the metric's
+    # definition since round 1, kept for cross-round comparability). A
+    # failed query is NOT silently dropped from the total: it is charged
+    # a poison value so a regression can never IMPROVE the headline, and
+    # the JSON carries the failure list explicitly.
+    FAIL_PENALTY_SEC = 600.0
+    total = sum(v if v > 0 else FAIL_PENALTY_SEC for v in timings.values())
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "bench_pages": n_bench_pages,
+        "er_entity_map_rows": n_out,
+    }
+    if failed:
+        out["failed_queries"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

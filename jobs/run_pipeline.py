@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
+    import pyspark.sql.functions as F
+
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
         PipelineConfig,
@@ -65,9 +67,17 @@ def main() -> None:
         spark, pages, resume_from=args.resume_from
     )
     entity_map.write.mode("overwrite").parquet(args.output)
-    stats = store.match_runs(spark).where("stage = 'cluster_stats'").orderBy(
-        "completed", ascending=False
-    ).limit(1).collect()
+    # filter on THIS run's id: match_runs is shared across every run
+    # under the checkpoint root, and latest-by-clock would report a
+    # concurrently-finishing run's stats
+    stats = (
+        store.match_runs(spark)
+        .where(F.col("stage") == "cluster_stats")
+        .where(F.col("run_id") == store.run_id)
+        .orderBy("completed", ascending=False)
+        .limit(1)
+        .collect()
+    )
     print(json.dumps({
         "run_id": store.run_id,
         "entity_map": args.output,

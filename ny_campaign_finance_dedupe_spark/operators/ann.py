@@ -148,6 +148,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     broadcast_queries: bool = True,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, rank, cosine).
 
@@ -161,6 +162,12 @@ def brute_force_topk(
     broadcast_queries=False: fully-distributed exact plan — query x corpus
     join + Arrow-batched cosine + window top-k. No driver collect at all;
     use when the query side exceeds the broadcast contract.
+
+    ``round_decimals`` quantizes the cosine BEFORE ranking, so rank
+    boundaries depend on the id tie-break rather than the engine's float
+    operation order whenever two scores agree to that precision — the
+    cross-engine (numpy GEMM vs SQL dot/norm) reproducibility knob the
+    oracle-checked gate queries use (9 decimals).
     """
     if not broadcast_queries:
         q = queries.select(
@@ -175,7 +182,10 @@ def brute_force_topk(
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine_batch_udf()(F.col("qv"), F.col("nv")).alias("cosine"),
+                _maybe_round(
+                    cosine_batch_udf()(F.col("qv"), F.col("nv")),
+                    round_decimals,
+                ).alias("cosine"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -222,6 +232,8 @@ def brute_force_topk(
             tile = _tile_cols(cm.shape[0], tile_elems)
             for lo in range(0, qm.shape[0], tile):
                 sims = cm @ qm[lo : lo + tile].T  # (n_batch, tile)
+                if round_decimals is not None:
+                    sims = np.round(sims, round_decimals)
                 # batch-local prune must use the SAME total order as the
                 # global window — (cosine desc, neighbor_id asc) — or
                 # ties straddling the kk boundary make output depend on
@@ -330,6 +342,10 @@ def portable_bucket_keys(
     return F.pandas_udf(batch, T.ArrayType(T.StringType()))(vec)
 
 
+def _maybe_round(col: Column, nd: int | None) -> Column:
+    return F.round(col, nd) if nd is not None else col
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -341,6 +357,7 @@ def lsh_topk(
     bits: int = 12,
     seed: int = 11,
     portable: bool = False,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket keys, exact cosine
     re-rank within candidates. Same output schema as brute_force_topk.
@@ -385,9 +402,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_batch_udf()(F.col("queryv"), F.col("neighborv")).alias(
-                "cosine"
-            ),
+            _maybe_round(
+                cosine_batch_udf()(F.col("queryv"), F.col("neighborv")),
+                round_decimals,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -86,6 +86,13 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs) if only else set()
+    if unknown:
+        # a misspelled filter must not produce a green run that checked
+        # nothing ('0 failures' with every query skipped)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

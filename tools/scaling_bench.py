@@ -130,7 +130,11 @@ def main() -> None:
         return
     lo = run_level(args.lo, args.pages, args.seed)
     hi = run_level(args.hi, args.pages, args.seed)
-    eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
+    # per-core-normalized: divide by the ACTUAL core ratio, not a fixed
+    # 4 (a --lo 2 --hi 6 run would otherwise report 0.75 for perfect
+    # scaling)
+    ratio = args.hi / args.lo
+    eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
     assert lo["entity_map_rows"] == hi["entity_map_rows"], "nondeterministic output"
     print(
         json.dumps(
