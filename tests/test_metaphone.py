@@ -34,6 +34,35 @@ VECTORS = [
     ("WITZ", "ATS", "FFX"),
     ("WICZ", "ATS", "FFX"),
     ("FILIPOWICZ", "FLPT", "FLPF"),
+    # broader classic set (C/G/J/X/Z/GH/MB/CC families)
+    ("maurice", "MRS", ""),
+    ("cambrillo", "KMPR", ""),
+    ("heidi", "HT", ""),
+    ("Thumbail", "0MPL", "TMPL"),
+    ("rajiv", "RJF", ""),
+    ("michael", "MKL", "MXL"),
+    ("rogier", "RJ", "RJR"),
+    ("caesar", "SSR", ""),
+    ("czerny", "SRN", "XRN"),
+    ("chianti", "KNT", ""),
+    ("michelangelo", "MXLN", "MKLN"),
+    ("edgar", "ATKR", ""),
+    ("edge", "AJ", ""),
+    ("island", "ALNT", ""),
+    ("accident", "AKST", ""),
+    ("focaccia", "FKX", ""),
+    ("McHugh", "MK", ""),
+    ("McLaughlin", "MKLF", ""),
+    ("Jankelowicz", "JNKL", "ANKL"),
+    ("zhao", "J", ""),
+    ("pizza", "PS", "PTS"),
+    ("campbell", "KMPL", ""),
+    ("raspberry", "RSPR", ""),
+    ("Gallegos", "KLKS", "KKS"),
+    ("Jugoslavia", "JKSL", "AKSL"),
+    ("bellocchio", "PLX", ""),
+    ("sugar", "XKR", "SKR"),
+    ("San Jacinto", "SNHS", ""),
     # truncation counts accumulated code CHARS, not segments: the
     # Spanish-LL rule emits an empty secondary segment, so a
     # segment-count guard would stop before the final S (AKR, not AKRS)
