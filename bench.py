@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -79,8 +78,6 @@ def _fast_lsh_ann(spark, sf_dir):
 
 
 def _fast_er(spark, sf_dir):
-    import tempfile
-
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
         PipelineConfig,
@@ -89,14 +86,9 @@ def _fast_er(spark, sf_dir):
         CheckpointStore,
     )
 
-    from ny_campaign_finance_dedupe_spark.session import scratch_dir
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = entry_mod._documents_as_pages(docs)
-    os.makedirs(scratch_dir(), exist_ok=True)
-    store = CheckpointStore(
-        tempfile.mkdtemp(prefix="nycfd_benchq_", dir=scratch_dir())
-    )
+    store = CheckpointStore(entry_mod._scratch_mkdtemp("nycfd_benchq_"))
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     # the returned DF reads the cluster checkpoint lazily, so removal
     # must wait until _time_df has counted it
@@ -160,16 +152,12 @@ def main() -> None:
     )
     from ny_campaign_finance_dedupe_spark.sources.checkpoint import CheckpointStore
 
-    from ny_campaign_finance_dedupe_spark.session import scratch_dir
-
     pages, _ = synth_pages(spark, n_pages=n_bench_pages, seed=42)
     pages = pages.persist()
     pages.count()  # materialize input outside the timed region
-    os.makedirs(scratch_dir(), exist_ok=True)
+    scratch = entry_mod._scratch_mkdtemp("nycfd_bench_")
     t0 = time.perf_counter()
-    store = CheckpointStore(
-        tempfile.mkdtemp(prefix="nycfd_bench_", dir=scratch_dir())
-    )
+    store = CheckpointStore(scratch)
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     n_out = em.count()
     er_secs = time.perf_counter() - t0
@@ -180,10 +168,16 @@ def main() -> None:
     # total over all timings (er_pipeline_synth included — the metric's
     # definition since round 1, kept for cross-round comparability). A
     # failed query is NOT silently dropped from the total: it is charged
-    # a poison value so a regression can never IMPROVE the headline, and
-    # the JSON carries the failure list explicitly.
+    # a poison value (by the FAILED list, not the timing's sign — a
+    # legitimate 0.000 s timing is a success) and the JSON carries the
+    # failure list explicitly. The penalty cannot know the crashed
+    # query's true cost, so the headline of a run with failures is only
+    # comparable through failed_queries, never silently.
     FAIL_PENALTY_SEC = 600.0
-    total = sum(v if v > 0 else FAIL_PENALTY_SEC for v in timings.values())
+    total = sum(
+        FAIL_PENALTY_SEC if name in failed else max(v, 0.0)
+        for name, v in timings.items()
+    )
     out = {
         "metric": "headline_total_sec",
         "value": round(total, 3),

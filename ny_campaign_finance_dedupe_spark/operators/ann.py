@@ -116,6 +116,12 @@ def _matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLEC
             f"driver; use the distributed plan (lsh_topk / bucketed "
             f"cosine_neardup_pairs) for a side this large"
         )
+    return _pdf_to_matrix(pdf, id_col, vec_col)
+
+
+def _pdf_to_matrix(pdf: pd.DataFrame, id_col: str, vec_col: str):
+    """Collected pandas frame -> (ids, row-normalized float64 matrix);
+    empty input yields a (0, 0) matrix, never a vstack crash."""
     ids = pdf[id_col].to_numpy()
     if len(pdf) == 0:
         return ids, np.zeros((0, 0), dtype=np.float64)
@@ -531,14 +537,7 @@ def cosine_neardup_pairs(
                 stacklevel=2,
             )
             return bucketed()
-        ids = pdf[id_col].to_numpy()
-        mat = (
-            np.zeros((0, 0), dtype=np.float64)
-            if len(pdf) == 0
-            else _norm_rows(
-                np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
-            )
-        )
+        ids, mat = _pdf_to_matrix(pdf, id_col, vec_col)
     else:
         ids, mat = _matrix(df, id_col, vec_col)
     id_type = df.schema[id_col].dataType

@@ -139,9 +139,16 @@ class IcebergFormat(TableFormat):
     def target(self, root: str, run_id: str, stage: str) -> str:
         """Logical (run_id, stage) -> ``catalog.namespace.r<run>_<stage>``
         — the store's filesystem ``root`` plays no part (tables live
-        where the catalog puts them); every non-identifier char in the
-        caller-supplied run_id is folded to '_'."""
+        where the catalog puts them). Non-identifier chars in the
+        caller-supplied run_id fold to '_' WITH a content-hash suffix so
+        the mapping stays injective ('exp-1' and 'exp.1' must not
+        createOrReplace each other's tables while their meta.json resume
+        state stays separate)."""
         safe = "".join(c if c.isalnum() else "_" for c in run_id)
+        if safe != run_id:
+            import hashlib
+
+            safe += "_" + hashlib.md5(run_id.encode()).hexdigest()[:6]
         return f"{self.catalog}.{self.namespace}.r{safe}_{stage}"
 
     def write(self, df: DataFrame, target: str, partition_by=()) -> None:

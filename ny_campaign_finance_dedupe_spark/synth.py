@@ -84,12 +84,21 @@ def _entity_words(rng: np.random.Generator, entity_id: int) -> list[str]:
     return words
 
 
-def _mutate(rng: np.random.Generator, words: list[str]) -> list[str]:
-    """One seeded near-duplicate mutation pass (reference mutation kinds)."""
+def _mutate(
+    rng: np.random.Generator, words: list[str]
+) -> tuple[list[str], bool]:
+    """One seeded near-duplicate mutation pass (reference mutation kinds).
+
+    Returns (words, is_exact). Exactness is signaled by KIND, not by
+    list equality: kind 5 (render-noise only) and guard-failed kinds
+    1-3 also return the list unchanged but must still go through
+    _render's punctuation/whitespace/case noise — they are the
+    near-dup class normalization exists to collapse, while kind 0 must
+    stay byte-identical to the anchor rendering."""
     w = list(words)
     kind = int(rng.integers(0, 6))
     if kind == 0:  # exact duplicate
-        return w
+        return w, True
     if kind == 1 and len(w) > 2:  # adjacent transposition (clean_donors.py:21-24)
         i = int(rng.integers(0, len(w) - 1))
         w[i], w[i + 1] = w[i + 1], w[i]
@@ -104,7 +113,7 @@ def _mutate(rng: np.random.Generator, words: list[str]) -> list[str]:
         i = int(rng.integers(0, len(w)))
         w.insert(i, w[i])
     # kind == 5 handled at render time (punctuation/whitespace/case noise)
-    return w
+    return w, False
 
 
 def _render(rng: np.random.Generator, words: list[str]) -> str:
@@ -139,12 +148,13 @@ def _gen_batch(pdfs: Iterator[pd.DataFrame], *, seed: int, dup_rate: float,
             ent_rng = np.random.default_rng((seed << 20) ^ 0x5EED ^ entity)
             words = _entity_words(ent_rng, entity)
             if entity != pid:
-                mutated = _mutate(rng, words)
-                if mutated == words:
-                    # the exact-duplicate mutation class must be BYTE
-                    # identical to the anchor page's rendering; routing
-                    # it through _render's per-token noise made an
-                    # "exact" copy identical only with p ~ 0.89^n_tokens
+                mutated, exact = _mutate(rng, words)
+                if exact:
+                    # the exact-duplicate mutation class (kind 0 ONLY —
+                    # render-noise and guard-failed kinds still render)
+                    # must be BYTE identical to the anchor rendering;
+                    # routing it through _render's per-token noise made
+                    # an "exact" copy identical only with p~0.89^n_tokens
                     text = " ".join(words)
                 else:
                     text = _render(rng, mutated)

@@ -160,11 +160,23 @@ def test_iceberg_target_is_identifier_not_path(spark):
             "/scratch/ckpt", run_id="run-7f.x", table_format=fmt
         )
         ident = store._data_path("block")
-        assert ident == "lake.checkpoints.rrun_7f_x_block"
+        assert ident.startswith("lake.checkpoints.rrun_7f_x_")
+        assert ident.endswith("_block")
         assert all(
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part)
             for part in ident.split(".")
         )
+        # the fold is injective: distinct run_ids that sanitize to the
+        # same string must NOT share a catalog table
+        other = CheckpointStore(
+            "/scratch/ckpt", run_id="run.7f-x", table_format=fmt
+        )
+        assert other._data_path("block") != ident
+        # identifier-safe run_ids stay readable, no hash suffix
+        clean = CheckpointStore(
+            "/scratch/ckpt", run_id="abc123", table_format=fmt
+        )
+        assert clean._data_path("block") == "lake.checkpoints.rabc123_block"
     finally:
         spark.conf.unset("spark.sql.catalog.lake")
 

@@ -138,3 +138,32 @@ def test_pipeline_with_hac_refinement(spark, tmp_path):
     )
     ev = evaluate_pairs(pred, cand, true_pairs(entities))
     assert ev.f1 >= 0.99, ev
+
+
+def test_synth_emits_both_duplicate_classes(spark):
+    """The generator must plant BOTH dup classes: byte-identical copies
+    (kind 0 — what exact dedup needs) AND render-noise-only near-dups
+    (kind 5 / guard-failed kinds: same words, different punctuation/
+    case/whitespace — what normalization exists to collapse)."""
+    import re
+
+    pages, entities = synth_pages(spark, n_pages=800, seed=42)
+    rows = (
+        pages.where(F.col("text").isNotNull())
+        .join(entities, "url")
+        .select("url", "text", "entity_id")
+        .collect()
+    )
+    by_ent = {}
+    for r in rows:
+        by_ent.setdefault(r["entity_id"], []).append(r["text"])
+    exact = noisy = 0
+    canon = lambda t: re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", t.lower()))
+    for texts in by_ent.values():
+        for t in texts[1:]:
+            if t == texts[0]:
+                exact += 1
+            elif canon(t) == canon(texts[0]):
+                noisy += 1
+    assert exact > 0, "no byte-identical duplicates planted"
+    assert noisy > 0, "no render-noise-only near-duplicates planted"
