@@ -1263,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
                      SUM(levenshtein(a.text, b.text)) AS tot
               FROM em a JOIN em b
                 ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+              WHERE a.text IS NOT NULL
               GROUP BY a.cluster_id, a.doc_id, a.text),
             best AS (SELECT cluster_id, val AS canonical_value FROM (
                        SELECT cluster_id, val,

@@ -144,15 +144,19 @@ def minhash_simhash_udf(num_perm: int = 64, seed: int = 7, bits: int = 64):
 def minhash_band_keys(sig: Column, bands: int, rows: int, prefix: str = "mh") -> Column:
     """signature -> array of band block-keys '<prefix><band>:<hash of r rows>'.
 
-    Native: slice + hash per band (hash() is Spark's 64-bit-safe murmur —
-    deterministic within a Spark version, which is all blocking needs:
-    keys only ever compare to keys from the same run).
+    Native: slice + xxhash64 per band. 64-bit matters at design scale:
+    F.hash is 32-bit Murmur3, so 10^12 signatures per band would fold
+    into 2^32 buckets (~230 unrelated records/bucket) — the collision-
+    merged blocks blow past max_block_size and cap_blocks DROPS them,
+    silently losing true pairs that shared the band. xxhash64 costs the
+    same and is deterministic within a Spark version, which is all
+    blocking needs (keys only compare to keys from the same run).
     """
     parts = [
         F.concat_ws(
             ":",
             F.lit(f"{prefix}{i}"),
-            F.hash(F.slice(sig, i * rows + 1, rows)).cast("string"),
+            F.xxhash64(F.slice(sig, i * rows + 1, rows)).cast("string"),
         )
         for i in range(bands)
     ]

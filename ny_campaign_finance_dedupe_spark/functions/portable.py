@@ -57,23 +57,38 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable (keygen._bind twin). Interpreted higher-order
+    functions do no common-subexpression elimination, so a subtree
+    referenced k times is recomputed k times per row — binding the md5
+    hash array once cuts the portable signature stage by that factor."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def minhash_sig(grams: Column, num_perm: int = 16) -> Column:
     """array<string> shingles -> array<long> portable signature
     (null for null/empty shingles — no keys downstream)."""
     a, b = perm_constants(num_perm)
-    hs = F.transform(grams, lambda g: hash60(g) % P)
 
     def _perm(ai: int, bi: int):
         # single-arg lambda required: pyspark passes (element, index) to
         # two-arg transform lambdas (see blocking.build_blocking_map)
         return lambda h: (F.lit(ai) * h + F.lit(bi)) % P
 
-    mins = [
-        F.array_min(F.transform(hs, _perm(a[i], b[i]))) for i in range(num_perm)
-    ]
+    def _mins(hs):
+        # hs is the bound, once-evaluated md5-hash array
+        return F.array(
+            *[
+                F.array_min(F.transform(hs, _perm(a[i], b[i])))
+                for i in range(num_perm)
+            ]
+        )
+
+    sig = _bind(F.transform(grams, lambda g: hash60(g) % P), _mins)
     return F.when(
         grams.isNull() | (F.size(grams) == 0), F.lit(None).cast("array<long>")
-    ).otherwise(F.array(*mins))
+    ).otherwise(sig)
 
 
 def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -97,16 +112,25 @@ def simhash32(tokens: Column) -> Column:
     null/empty tokens). bit_j = 1 iff a strict majority of token hashes
     have bit j set (2*ones > n; exact-half votes 0, matching
     hashing._simhash_one's ``votes > 0``)."""
-    hs = F.transform(tokens, lambda t: hash60(t).bitwiseAND(F.lit(MASK32)))
-    n = F.size(hs)
-    total = F.lit(0).cast("long")
-
     def _bit(mask: int):
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
-    for j in range(32):
-        ones = F.size(F.filter(hs, _bit(1 << j)))
-        total = total + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    def _total(hs):
+        # hs bound once; the 33 references below scan the materialized
+        # array instead of re-running the md5 chain per reference
+        n = F.size(hs)
+        total = F.lit(0).cast("long")
+        for j in range(32):
+            ones = F.size(F.filter(hs, _bit(1 << j)))
+            total = total + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        return total
+
+    total = _bind(
+        F.transform(tokens, lambda t: hash60(t).bitwiseAND(F.lit(MASK32))),
+        _total,
+    )
     return F.when(
         tokens.isNull() | (F.size(tokens) == 0), F.lit(None).cast("long")
     ).otherwise(total)

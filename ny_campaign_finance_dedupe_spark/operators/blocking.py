@@ -53,8 +53,14 @@ def build_blocking_map(
         # default-bound second parameter.
         return lambda k: F.concat_ws("|", F.lit(name), k)
 
+    empty = F.array().cast("array<string>")
     arrays = [
-        F.transform(expr, _prefixer(name)).alias(name)
+        # null-safe per predicate: flatten() returns NULL if ANY element
+        # array is NULL and explode(NULL) emits no rows — one null-
+        # returning custom predicate must not erase every OTHER
+        # predicate's keys for the record (in-repo keygen generators
+        # return [] for null fields; this guards the extension point)
+        F.transform(F.coalesce(expr, empty), _prefixer(name)).alias(name)
         for name, expr in predicates.items()
     ]
     return records.select(

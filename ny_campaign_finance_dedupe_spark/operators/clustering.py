@@ -424,24 +424,44 @@ def split_oversize_components(
         # broadcast only the (tiny) oversize-cluster-id list; big_members
         # can be max_component x n_big rows — a shuffled semi-join, never
         # a broadcast build side
-        big_members = out.join(F.broadcast(big), "cluster_id").select("record_id")
+        memb = out.join(F.broadcast(big), "cluster_id").select(
+            "record_id", "cluster_id"
+        )
+        big_members = memb.select("record_id")
+        # keep the component id on each edge: the reference re-filters
+        # EACH component at ITS OWN min kept score (clustering.py:63-98).
+        # A single global min would only peel one min-tier per round —
+        # max_rounds could exhaust while high-score components were
+        # never re-filtered at all. (score>=threshold edges never cross
+        # components: CC already merged anything they connect.)
         bad_edges = (
             scored_pairs.where(F.col("score") >= threshold)
             .join(
-                big_members.withColumnRenamed("record_id", "src"), "src", "left_semi"
+                memb.select(
+                    F.col("record_id").alias("src"),
+                    F.col("cluster_id").alias("_cid"),
+                ),
+                "src",
             )
             .join(
                 big_members.withColumnRenamed("record_id", "dst"), "dst", "left_semi"
             )
         )
-        row = bad_edges.agg(F.min("score").alias("m")).collect()[0]
-        if row["m"] is None:
+        # per-component threshold sigmoid(logit(min kept score) + 1) —
+        # strictly above each component's min edge, so EVERY oversize
+        # component loses at least one edge per round (progress bound)
+        mins = bad_edges.groupBy("_cid").agg(F.min("score").alias("_m"))
+        if mins.isEmpty():
             return out
-        import math
-
-        m = min(max(float(row["m"]), 1e-6), 1 - 1e-6)
-        new_thr = 1.0 / (1.0 + math.exp(-(math.log(m / (1 - m)) + 1.0)))
-        recl = cluster_edges(bad_edges, threshold=new_thr)
+        mc = F.least(F.greatest(F.col("_m"), F.lit(1e-6)), F.lit(1 - 1e-6))
+        thr = 1.0 / (1.0 + F.exp(-(F.log(mc / (1 - mc)) + F.lit(1.0))))
+        refiltered = (
+            bad_edges.join(F.broadcast(mins.select("_cid", thr.alias("_thr"))),
+                           "_cid")
+            .where(F.col("score") >= F.col("_thr"))
+            .select("src", "dst", "score")
+        )
+        recl = cluster_edges(refiltered, threshold=threshold)
         keep = out.join(F.broadcast(big), "cluster_id", "left_anti")
         # members that fell out of the re-filtered subgraph become singletons
         dropped = (

@@ -194,8 +194,14 @@ def canonicalize_clusters(
         ),
         "record_id",
     )
-    a = m.alias("a")
-    b = m.alias("b")
+    # NULL values are not centroid candidates: an all-NULL levenshtein
+    # sum is NULL, and Spark's asc sort is nulls-FIRST (DuckDB's is
+    # nulls-last), so an unfiltered NULL member would win the argmin
+    # here and lose it in the oracle. SUM already ignores NULL pair
+    # costs, so filtering both sides leaves every finite total intact.
+    m_nn = m.where(F.col("val").isNotNull())
+    a = m_nn.alias("a")
+    b = m_nn.alias("b")
     cost = (
         a.join(b, "cluster_id")
         .where(F.col("a.record_id") != F.col("b.record_id"))

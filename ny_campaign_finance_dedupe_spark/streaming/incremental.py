@@ -21,7 +21,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions import hashing, keygen, normalize
 from ..operators import scoring
 
 
@@ -50,16 +49,20 @@ def match_batch(
     index: DataFrame,
     cfg,
     n_matches: int = 1,
-    threshold: float = 0.5,
+    threshold: float | None = None,
 ) -> DataFrame:
     """One micro-batch: new pages -> top-N scored matches vs the index.
 
     Returns (query_url, match_url, score, rank). Pure DataFrame ops, so
     it runs identically under foreachBatch or as a plain batch call
     (which is how the tests drive it deterministically).
+    ``threshold=None`` takes ``cfg.score_threshold`` — stream and batch
+    accept at the SAME configured score unless explicitly overridden.
     """
     from ..plans.pipeline import DedupePipeline
 
+    if threshold is None:
+        threshold = getattr(cfg, "score_threshold", 0.5)
     pipe = DedupePipeline(cfg)
     ext = pipe.extract(batch)
     bm = pipe.block(pipe.signatures(ext))
@@ -100,9 +103,15 @@ def start_incremental_matcher(
     pages_schema,
     n_matches: int = 1,
     watermark: str = "1 hour",
+    threshold: float | None = None,
 ):
-    """Wire the streaming query: file-source pages stream, event-time
-    watermark on warc_ts for late pages, foreachBatch append sink."""
+    """Wire the streaming query: file-source pages stream, foreachBatch
+    append sink. ``threshold`` forwards to match_batch (default:
+    cfg.score_threshold). NOTE on the watermark: with foreachBatch and
+    no stateful aggregation/join downstream, a watermark does NOT drop
+    late rows — every file-source row reaches match_batch; it exists so
+    that adding a stateful dedup/windowed stage later inherits sane
+    late-data bounds, not as a filter today."""
     stream = (
         spark.readStream.schema(pages_schema)
         .parquet(stream_source_dir)
@@ -110,7 +119,9 @@ def start_incremental_matcher(
     )
 
     def sink(batch_df: DataFrame, batch_id: int):
-        out = match_batch(batch_df, index, cfg, n_matches=n_matches)
+        out = match_batch(
+            batch_df, index, cfg, n_matches=n_matches, threshold=threshold
+        )
         out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_dir
         )

@@ -143,3 +143,27 @@ def test_canonical_mode_ignores_nulls(spark):
     # NULL (3 occurrences) must not beat the real values in cluster 1;
     # all-NULL cluster 2 yields no row; ties break ascending (cluster 3)
     assert got == {1: "acme co", 3: "a"}
+
+
+def test_split_oversize_per_component_threshold(spark):
+    """Each oversize component re-filters at ITS OWN min kept score: a
+    high-score chain must split in the same rounds as a low-score one,
+    not wait for the global min tier to be peeled first."""
+    def chain(ids, score):
+        return [(ids[i], ids[i + 1], score) for i in range(len(ids) - 1)]
+
+    # two 6-member chains at very different score tiers; cap 4 forces
+    # both to split. With a GLOBAL min threshold, round 1's
+    # sigmoid(logit(0.55)+1)~0.77 removes nothing from the 0.97 chain
+    # and max_rounds can exhaust on the high tier.
+    low = chain(["l1", "l2", "l3", "l4", "l5", "l6"], 0.55)
+    high = chain(["h1", "h2", "h3", "h4", "h5", "h6"], 0.97)
+    scored = spark.createDataFrame(
+        low + high, "src string, dst string, score double"
+    )
+    merged = clustering.cluster_edges(scored, threshold=0.5)
+    split = clustering.split_oversize_components(
+        scored, merged, threshold=0.5, max_component=4, max_rounds=3
+    )
+    sizes = [len(s) for s in comp_sets(split.select("record_id", "cluster_id"))]
+    assert max(sizes) <= 4, sizes

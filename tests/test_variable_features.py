@@ -324,3 +324,27 @@ def test_short_string_variable_uses_affine_gap(spark):
     )
     assert r["s1"] == pytest.approx(1.0)  # identical -> match weight
     assert r["s2"] > r["s1"]  # distance grows with dissimilarity
+
+
+def test_pairwise_comparators_bounded_by_prefix():
+    # one dirty 50k-char value must not scale the whole batch's DP state
+    # (PAIRWISE_PREFIX truncation); result equals comparing the prefixes
+    import time
+
+    import pandas as pd
+
+    from ny_campaign_finance_dedupe_spark.operators import scoring
+
+    long_s = "abcdefghij" * 5000  # 50k chars
+    a = pd.Series([long_s, "acme corp"])
+    b = pd.Series([long_s[:30000], "acme corporation"])
+    t0 = time.perf_counter()
+    got = scoring.affine_gap_batch(a, b)
+    jw = scoring.jaro_winkler_batch(a, b)
+    assert time.perf_counter() - t0 < 30.0
+    pfx = scoring.PAIRWISE_PREFIX
+    exp = scoring.affine_gap_batch(
+        pd.Series([long_s[:pfx]]), pd.Series([long_s[:30000][:pfx]])
+    )
+    assert got[0] == exp[0]
+    assert 0.0 <= jw[0] <= 1.0
