@@ -34,6 +34,11 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+# single _bind definition: keygen's carries the verified Spark 4.1.2
+# constraint notes (interpreted higher-order fns do no CSE; _bind shapes
+# must not become pandas-UDF arguments above another Python-eval node)
+from .keygen import _bind
+
 P = (1 << 31) - 1
 MASK32 = (1 << 32) - 1
 
@@ -55,15 +60,6 @@ def perm_constants(num_perm: int) -> tuple[list[int], list[int]]:
 def hash60(col: Column) -> Column:
     """60-bit portable hash: first 15 hex chars of md5, base-16 parsed."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def _bind(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
-    lambda variable (keygen._bind twin). Interpreted higher-order
-    functions do no common-subexpression elimination, so a subtree
-    referenced k times is recomputed k times per row — binding the md5
-    hash array once cuts the portable signature stage by that factor."""
-    return F.get(F.transform(F.array(expr), fn), 0)
 
 
 def minhash_sig(grams: Column, num_perm: int = 16) -> Column:

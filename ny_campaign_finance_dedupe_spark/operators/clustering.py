@@ -450,14 +450,27 @@ def split_oversize_components(
         # per-component threshold sigmoid(logit(min kept score) + 1) —
         # strictly above each component's min edge, so EVERY oversize
         # component loses at least one edge per round (progress bound)
-        mins = bad_edges.groupBy("_cid").agg(F.min("score").alias("_m"))
-        if mins.isEmpty():
+        # one tiny row per oversize component: collect ONCE (the
+        # emptiness probe and the threshold build side share the job —
+        # an isEmpty + broadcast pair would run the joins+agg twice)
+        import math
+
+        min_rows = bad_edges.groupBy("_cid").agg(
+            F.min("score").alias("_m")
+        ).collect()
+        if not min_rows:
             return out
-        mc = F.least(F.greatest(F.col("_m"), F.lit(1e-6)), F.lit(1 - 1e-6))
-        thr = 1.0 / (1.0 + F.exp(-(F.log(mc / (1 - mc)) + F.lit(1.0))))
+
+        def _thr_of(m: float) -> float:
+            m = min(max(m, 1e-6), 1 - 1e-6)
+            return 1.0 / (1.0 + math.exp(-(math.log(m / (1 - m)) + 1.0)))
+
+        thr_df = out.sparkSession.createDataFrame(
+            [(r["_cid"], _thr_of(float(r["_m"]))) for r in min_rows],
+            bad_edges.select("_cid").schema.add("_thr", "double"),
+        )
         refiltered = (
-            bad_edges.join(F.broadcast(mins.select("_cid", thr.alias("_thr"))),
-                           "_cid")
+            bad_edges.join(F.broadcast(thr_df), "_cid")
             .where(F.col("score") >= F.col("_thr"))
             .select("src", "dst", "score")
         )

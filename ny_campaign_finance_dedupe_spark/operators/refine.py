@@ -194,14 +194,17 @@ def canonicalize_clusters(
         ),
         "record_id",
     )
-    # NULL values are not centroid candidates: an all-NULL levenshtein
-    # sum is NULL, and Spark's asc sort is nulls-FIRST (DuckDB's is
-    # nulls-last), so an unfiltered NULL member would win the argmin
-    # here and lose it in the oracle. SUM already ignores NULL pair
-    # costs, so filtering both sides leaves every finite total intact.
-    m_nn = m.where(F.col("val").isNotNull())
-    a = m_nn.alias("a")
-    b = m_nn.alias("b")
+    # NULL values are not centroid CANDIDATES (an all-NULL levenshtein
+    # sum is NULL, and Spark's asc sort is nulls-FIRST vs DuckDB's
+    # nulls-last — an unfiltered NULL member would win here and lose in
+    # the oracle), but they stay on the PEER side: filtering b too would
+    # make a two-member {real, NULL} cluster vanish (no pair rows, not a
+    # singleton). SUM ignores NULL pair costs, so a candidate's total is
+    # finite whenever it has >= 1 non-null peer, and the only candidate
+    # with a NULL total is a cluster's sole non-null member — a one-row
+    # partition where sort order is moot. Engines agree in every case.
+    a = m.where(F.col("val").isNotNull()).alias("a")
+    b = m.alias("b")
     cost = (
         a.join(b, "cluster_id")
         .where(F.col("a.record_id") != F.col("b.record_id"))

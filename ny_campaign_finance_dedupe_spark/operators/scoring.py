@@ -254,8 +254,11 @@ def variable_features(
             # so the max-retained fallback (pruned vocabs) would
             # underweight it — used only for hand-built idf dicts
             # missing the key.
-            default = idf.get("") or (
-                max(idf.values()) if idf else math.log(2.0) + 1.0
+            oov = idf.get("")  # None-check, not truthiness: an explicit
+            default = (       # 0.0 OOV weight must be honored
+                oov
+                if oov is not None
+                else (max(idf.values()) if idf else math.log(2.0) + 1.0)
             )
             expr = tfidf_cosine_udf(idf, default)(a, b)
         elif t == "ShortString":
@@ -519,7 +522,16 @@ def jaro_winkler_one(s1: str, s2: str) -> float:
     return jaro + 0.1 * p * (1 - jaro)
 
 
-def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+def _bounded(col: pd.Series, prefix: int | None) -> np.ndarray:
+    s = col.fillna("")
+    if prefix is not None:
+        s = s.str.slice(0, prefix)
+    return s.to_numpy(dtype=object)
+
+
+def jaro_winkler_batch(
+    a: pd.Series, b: pd.Series, prefix: int | None = PAIRWISE_PREFIX
+) -> np.ndarray:
     """Row-vectorized Jaro-Winkler over a batch of string pairs.
 
     Strings become codepoint matrices (utf-32 view, zero-padded); the
@@ -530,8 +542,7 @@ def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     the common-prefix boost are batch bincount/cumprod reductions.
     O(Lmax * n * Lmax) vectorized work vs the per-row Python loops the
     scalar form spends per pair (VERDICT r02 #9)."""
-    s1 = a.fillna("").str.slice(0, PAIRWISE_PREFIX).to_numpy(dtype=object)
-    s2 = b.fillna("").str.slice(0, PAIRWISE_PREFIX).to_numpy(dtype=object)
+    s1, s2 = _bounded(a, prefix), _bounded(b, prefix)
     n = len(s1)
     if n == 0:
         return np.zeros(0)
@@ -610,6 +621,7 @@ def affine_gap_batch(
     gap_open: float = 10.0,
     gap_extend: float = 7.0,
     abbreviation_scale: float = 0.125,
+    prefix: int | None = PAIRWISE_PREFIX,
 ) -> np.ndarray:
     """Normalized affine-gap edit distance over a batch of string pairs
     — the reference String comparator's distance family
@@ -633,9 +645,14 @@ def affine_gap_batch(
     (L1 x L2 iterations bounded by the longest strings in the batch),
     but every cell update is a whole-batch numpy operation. Use on
     short fields (names, address lines) like the reference does.
+
+    ``prefix`` (default PAIRWISE_PREFIX) truncates inputs before the
+    DP — a DOCUMENTED deviation from the reference's unbounded
+    affinegap: beyond the prefix two strings compare equal. Pass
+    prefix=None for exact reference semantics at the caller's own
+    memory risk (state is O(batch x longest string)).
     """
-    s1 = a.fillna("").str.slice(0, PAIRWISE_PREFIX).to_numpy(dtype=object)
-    s2 = b.fillna("").str.slice(0, PAIRWISE_PREFIX).to_numpy(dtype=object)
+    s1, s2 = _bounded(a, prefix), _bounded(b, prefix)
     n = len(s1)
     if n == 0:
         return np.zeros(0)

@@ -144,7 +144,9 @@ class IcebergFormat(TableFormat):
         the mapping stays injective ('exp-1' and 'exp.1' must not
         createOrReplace each other's tables while their meta.json resume
         state stays separate)."""
-        safe = "".join(c if c.isalnum() else "_" for c in run_id)
+        safe = "".join(
+            c if (c.isascii() and c.isalnum()) else "_" for c in run_id
+        )
         if safe != run_id:
             import hashlib
 

@@ -154,16 +154,24 @@ def test_synth_emits_both_duplicate_classes(spark):
         .select("url", "text", "entity_id")
         .collect()
     )
-    by_ent = {}
+    # the anchor page's pid == entity_id (synth contract); identify it by
+    # the url's pid suffix, not by collect() row order (nondeterministic)
+    by_ent: dict = {}
     for r in rows:
-        by_ent.setdefault(r["entity_id"], []).append(r["text"])
+        pid = int(r["url"].rsplit("/", 1)[1])
+        by_ent.setdefault(r["entity_id"], {})[pid] = r["text"]
     exact = noisy = 0
     canon = lambda t: re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", t.lower()))
-    for texts in by_ent.values():
-        for t in texts[1:]:
-            if t == texts[0]:
+    for ent, pages in by_ent.items():
+        anchor = pages.get(ent)
+        if anchor is None:
+            continue  # anchor text nulled by null_text_rate
+        for pid, t in pages.items():
+            if pid == ent:
+                continue
+            if t == anchor:
                 exact += 1
-            elif canon(t) == canon(texts[0]):
+            elif canon(t) == canon(anchor):
                 noisy += 1
     assert exact > 0, "no byte-identical duplicates planted"
     assert noisy > 0, "no render-noise-only near-duplicates planted"
