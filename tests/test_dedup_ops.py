@@ -66,6 +66,49 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     assert capped.count() < full.count()
 
 
+def test_default_df_cap_abs_ceiling():
+    """The 5% arm is capped at ABS_DF_CAP (VERDICT r03 #1): at web scale
+    5% of N is itself unbounded and the shingle join's sum(df^2) goes
+    quadratic; the absolute ceiling keeps total candidate pairs at
+    O(N * ABS_DF_CAP) for any corpus size."""
+    assert dedup.default_df_cap(10_000) == 1000          # floor binds
+    assert dedup.default_df_cap(40_000) == 2000          # 5% arm binds
+    assert dedup.default_df_cap(100_000) == 5000         # boundary
+    assert dedup.default_df_cap(1_000_000) == 5000       # ceiling binds
+    assert dedup.default_df_cap(10**11) == dedup.ABS_DF_CAP
+    assert dedup.default_df_cap(10**11, abs_cap=2000) == 2000
+
+
+def test_ngram_jaccard_planted_boilerplate_bounded(spark):
+    """Planted-boilerplate skew: one shingle appears in 50% of a 200-doc
+    corpus (think a site template at Common-Crawl scale). With the capped
+    rule (abs_cap below the hot shingle's df) the hot shingle must be
+    dropped from the join, so candidate-pair count stays bounded by the
+    genuinely-shared content instead of ~(0.5N)^2 from the template."""
+    hot = "all rights reserved"
+    rows = []
+    for i in range(100):  # 100 docs carrying the template shingle
+        rows.append((i, f"{hot} page {i} unique body text w{i} x{i} y{i}"))
+    for i in range(100, 200):  # 100 docs without it
+        rows.append((i, f"other page {i} unique body text w{i} x{i} y{i}"))
+    # one genuine near-dup pair sharing real content
+    rows.append((500, "shared real content alpha beta gamma delta"))
+    rows.append((501, "shared real content alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = df.count()
+    cap = dedup.default_df_cap(n, abs_cap=50)  # df(hot shingle)=100 > cap
+    got = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, df_cap=cap
+    ).collect()
+    pairs = {(r["src"], r["dst"]) for r in got}
+    assert (500, 501) in pairs  # real dup survives the cap
+    # without the cap the template shingle alone yields C(100,2)=4950
+    # pairs; with it, candidates are bounded well below that
+    assert len(pairs) < 1000
+    # and specifically: no pair exists whose only link is the template
+    assert (0, 1) not in pairs
+
+
 def test_minhash_candidates_find_near_dups(docs):
     got = dedup.minhash_candidate_pairs(
         docs, "doc_id", "text", est_threshold=0.5
