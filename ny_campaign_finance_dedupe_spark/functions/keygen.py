@@ -525,9 +525,11 @@ def deletion_variants(col: Column | str, key_len: int = 12) -> Column:
     def keys_of(c):
         n = F.length(c)
         # n == 1 emits the empty-string deletion so two distinct
-        # single-char keys (distance 1 via substitution) still co-block;
-        # the "" block is bounded by the alphabet size, so the fan-out
-        # stays linear
+        # single-char keys (distance 1 via substitution) still co-block.
+        # NOTE: only the number of distinct KEYS is alphabet-bounded; the
+        # "" block itself holds every record whose field is a single
+        # character, so its SIZE is record-count-bounded only — a hot ""
+        # block relies on downstream cap_blocks like any other hot key
         dels = F.when(n <= 1, F.array(F.lit(""))).otherwise(
             F.transform(
                 F.sequence(F.lit(1), n),

@@ -59,6 +59,15 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _round_half_away(a: np.ndarray, nd: int) -> np.ndarray:
+    """Half-away-from-zero rounding, matching F.round / DuckDB ROUND.
+    np.round is banker's (half-to-even), so the broadcast GEMM path and
+    the distributed/oracle path would disagree at exact half-point values
+    of the quantization decimal; this keeps both paths on one rule."""
+    scale = 10.0**nd
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 # A broadcast build side bigger than this is a planning error, not a
 # bigger broadcast: 2M x 64-dim float64 is ~1 GiB on the driver. Callers
 # that can exceed it must use the distributed path (lsh/banded join).
@@ -239,7 +248,7 @@ def brute_force_topk(
             for lo in range(0, qm.shape[0], tile):
                 sims = cm @ qm[lo : lo + tile].T  # (n_batch, tile)
                 if round_decimals is not None:
-                    sims = np.round(sims, round_decimals)
+                    sims = _round_half_away(sims, round_decimals)
                 # batch-local prune must use the SAME total order as the
                 # global window — (cosine desc, neighbor_id asc) — or
                 # ties straddling the kk boundary make output depend on

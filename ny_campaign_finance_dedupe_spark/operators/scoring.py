@@ -180,8 +180,8 @@ def train_logistic(
     )
 
 
-VARIABLE_TYPES = ("String", "ShortString", "Text", "Exact", "Price",
-                  "LatLong", "Set", "Categorical", "Exists")
+VARIABLE_TYPES = ("String", "ShortString", "StringFast", "Text", "Exact",
+                  "Price", "LatLong", "Set", "Categorical", "Exists")
 
 
 def variable_features(
@@ -194,7 +194,9 @@ def variable_features(
 
     | type | distance | reference |
     |---|---|---|
-    | String/Text | token-set cosine + bounded levenshtein ratio | variables/string.py:45-93 |
+    | String/ShortString | normalized affine-gap distance (Gotoh DP) — StringType inherits ShortStringType's comparator | variables/string.py:45-66 |
+    | StringFast | token-set cosine + bounded levenshtein ratio — this engine's cheaper Catalyst-native blend, NOT a reference type; also the Text fallback when no idf is supplied | — |
+    | Text (with idf) | corpus-IDF-weighted cosine | variables/string.py:78-93 |
     | Exact | 0/1 equality | variables/exact.py:5-14 |
     | Price | abs(log10(a) - log10(b)), NaN->0 for non-positive | variables/price.py:6-19 |
     | LatLong | sqrt(haversine km) | variables/latlong.py:8-15 |
@@ -207,16 +209,22 @@ def variable_features(
     Entries: {"field": name, "type": t, "has missing": bool,
     "categories": [...], "interaction": [f1, f2]}. Interactions
     (variables/interaction.py:5-61) multiply previously-defined feature
-    columns. Every feature NaN/null-coalesces to 0 with a companion
-    ``<field>_missing`` indicator when "has missing" is set
+    columns; an interaction of any has-missing field additionally emits
+    a ``<f1>_x_<f2>_missing`` indicator (interaction.py:20-24,
+    datamodel.py:178-184). Every feature NaN/null-coalesces to 0 with a
+    companion ``<field>_missing`` indicator when "has missing" is set
     (datamodel.py:96-115).
     """
     out: dict[str, Column] = {}
     # exact record of which feature columns each FIELD produced (dummy
     # names are not recoverable by prefix: field "addr" would capture an
     # unrelated field "addr_city"); _missing indicators are not features
-    # and never interact
+    # and never interact (but see the Interaction branch: an interaction
+    # of any has-missing field gets its OWN _missing indicator)
     field_cols: dict[str, list[str]] = {}
+    has_missing_fields: set[str] = {
+        v["field"] for v in spec if v.get("has missing") and "field" in v
+    }
     for var in spec:
         t = var.get("type", "String")
         if t == "Interaction":
@@ -240,6 +248,22 @@ def variable_features(
             for k1 in comps1:
                 for k2 in comps2:
                     out[f"{k1}_x_{k2}"] = out[k1] * out[k2]
+            # the reference marks an interaction has_missing when ANY
+            # component field has it and appends a MissingDataType
+            # feature for the interaction itself (interaction.py:20-24,
+            # datamodel.py:178-184): 1 when any component value is
+            # absent (the product columns are 0 there — the indicator
+            # lets the classifier separate "absent" from "compared,
+            # scored 0")
+            if f1 in has_missing_fields or f2 in has_missing_fields:
+                p_all = F.lit(True)
+                for fld in (f1, f2):
+                    p_all = (
+                        p_all
+                        & F.col(f"{fld}_a").isNotNull()
+                        & F.col(f"{fld}_b").isNotNull()
+                    )
+                out[f"{f1}_x_{f2}_missing"] = (~p_all).cast("double")
             continue
         f = var["field"]
         a, b = F.col(f"{f}_a"), F.col(f"{f}_b")
@@ -261,11 +285,13 @@ def variable_features(
                 else (max(idf.values()) if idf else math.log(2.0) + 1.0)
             )
             expr = tfidf_cosine_udf(idf, default)(a, b)
-        elif t == "ShortString":
-            # the reference ShortString comparator exactly: normalized
-            # affine-gap distance (variables/string.py:45-66)
+        elif t in ("String", "ShortString"):
+            # the reference comparator exactly: normalized affine-gap
+            # distance (variables/string.py:45-66). StringType inherits
+            # ShortStringType's affineGap, so both route here; the
+            # cheaper cosine+lev blend remains opt-in as "StringFast"
             expr = affine_gap_udf()(a, b)
-        elif t in ("String", "Text"):
+        elif t in ("StringFast", "Text"):
             cols = feature_columns(a, b)
             expr = (cols["f_cosine"] + cols["f_lev"]) / 2.0
         elif t == "Exact":
@@ -424,10 +450,13 @@ def tfidf_cosine_udf(idf: dict[str, float], default_idf: float):
     every task closure — squared once per worker into a plain dict. The
     kernel is per-row over the Arrow batch but all per-token work is
     C-level (str.split, set dedup/membership, dict.get): measured
-    2.5-3x FASTER than the pandas groupby/merge formulation at
-    web-page token counts (100-2000 tokens/doc — the frame-build,
-    merge, and reindex constants dominate that shape; see the
-    BASELINE.md micro-bench note)."""
+    2.5-3.3x FASTER than a pandas groupby/merge formulation and
+    1.5-1.8x faster than a hashed-token numpy intersect at web-page
+    token counts (100-2000 tokens/doc — frame-build/merge/reindex
+    constants dominate the former; per-row tokenization + fromiter
+    marshalling eat the latter's gains). Measurement:
+    tools/tfidf_microbench.py, table in BASELINE.md round-4
+    "TF-IDF kernel micro-bench"."""
     import math
 
     from pyspark.sql import SparkSession

@@ -99,8 +99,16 @@ class ParquetFormat(TableFormat):
     def file_counts(self, target: str) -> list[tuple[int, int]] | None:
         """(partition_id, rows) per written data file, straight from the
         parquet footers — a metadata-only read (the manifest-stats path
-        an Iceberg catalog gives for free). Decoding a footer also
-        validates the file: truncated/corrupt checkpoints fail here."""
+        an Iceberg catalog gives for free).
+
+        Validation scope: footer-only. Decoding the footer catches a
+        truncated or missing footer, but NOT corruption inside data
+        pages — that surfaces on the first real read of the checkpoint
+        (which every resume performs anyway). partition_id here is the
+        SORTED-FILE INDEX within the checkpoint directory, not a Spark
+        partition id — stable across re-lists of the same write, but not
+        comparable to spark_partition_id() (see FIXTURES.md match_runs
+        contract)."""
         import pyarrow.parquet as pq
 
         files = sorted(Path(target).rglob("*.parquet"))

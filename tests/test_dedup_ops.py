@@ -48,6 +48,31 @@ def test_exact_duplicates_no_member_array(spark):
     assert got[1000] == (1000, 1)
 
 
+def test_exact_duplicates_persist_is_size_adaptive(docs):
+    """Toy inputs skip the shared-projection persist (re-hashing a few
+    KB twice beats the materialization barrier); forcing the threshold
+    to 0 restores the scale shape, and both produce identical output.
+    Uses a parquet source because Catalyst only has a size estimate for
+    file sources — unestimatable plans (e.g. Python createDataFrame)
+    keep the persist as the scale-safe default."""
+    spark = docs.sparkSession
+    pq = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    small = dedup.exact_duplicates(pq, "doc_id", "text")
+    assert not getattr(small, "_persisted_deps", [])
+    forced = dedup.exact_duplicates(
+        pq, "doc_id", "text", persist_threshold_bytes=0
+    )
+    assert getattr(forced, "_persisted_deps", [])
+    # unestimatable input -> persist stays on (scale-safe)
+    local = dedup.exact_duplicates(docs, "doc_id", "text")
+    assert getattr(local, "_persisted_deps", [])
+    dedup.release(local)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+    dedup.release(forced)
+
+
 def test_ngram_jaccard_pairs(docs):
     got = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
     pairs = {(r["src"], r["dst"]): r["jaccard"] for r in got}

@@ -118,6 +118,41 @@ def test_interaction_product(spark):
     assert r["a_x_b"] == 1.0
 
 
+def test_interaction_missing_indicator(spark):
+    """An interaction of any has-missing field emits its own _missing
+    indicator (interaction.py:20-24, datamodel.py:178-184): 1 when any
+    component value is absent, 0 when all present — and no indicator at
+    all when no component declares 'has missing'."""
+    spec = [
+        {"field": "a", "type": "Exact", "has missing": True},
+        {"field": "b", "type": "Exact"},
+        {"type": "Interaction", "interaction": ["a", "b"]},
+    ]
+    r = _feat(
+        spark,
+        [(None, "x", "y", "y")],
+        "a_a string, a_b string, b_a string, b_b string",
+        spec,
+    )
+    assert r["a_x_b"] == 0.0  # missing comparison zeroes the product
+    assert r["a_x_b_missing"] == 1.0
+    r2 = _feat(
+        spark,
+        [("x", "x", "y", "y")],
+        "a_a string, a_b string, b_a string, b_b string",
+        spec,
+    )
+    assert r2["a_x_b_missing"] == 0.0
+    cols = scoring.variable_features(
+        [
+            {"field": "a", "type": "Exact"},
+            {"field": "b", "type": "Exact"},
+            {"type": "Interaction", "interaction": ["a", "b"]},
+        ]
+    )
+    assert "a_x_b_missing" not in cols
+
+
 def test_interaction_over_categorical_expands_dummies(spark):
     """An interaction referencing a Categorical field fans out across
     its dummy columns (the reference expands higher_vars) instead of
@@ -138,14 +173,41 @@ def test_interaction_over_categorical_expands_dummies(spark):
     assert r["typ_is_c_p_x_nm"] == 0.0
 
 
-def test_string_variable_blends_cosine_and_lev(spark):
+def test_string_variable_uses_affine_gap(spark):
+    """String routes through the reference comparator (StringType
+    inherits ShortStringType's affineGap, variables/string.py:45-66):
+    identical strings cost exactly the match weight (normalized -> 1.0),
+    dissimilar strings cost strictly more, and String == ShortString
+    feature-for-feature."""
     r = _feat(
         spark,
         [("main street", "main street", "main street", "oak avenue")],
         "s1_a string, s1_b string, s2_a string, s2_b string",
         [
             {"field": "s1", "type": "String"},
-            {"field": "s2", "type": "String"},
+            {"field": "s2", "type": "ShortString"},
+        ],
+    )
+    assert r["s1"] == pytest.approx(1.0)  # identical -> match weight
+    assert r["s2"] > r["s1"]  # affine-gap DISTANCE grows with dissimilarity
+    import pandas as pd
+
+    (want,) = scoring.affine_gap_batch(
+        pd.Series(["main street"]), pd.Series(["oak avenue"])
+    )
+    assert r["s2"] == pytest.approx(want)
+
+
+def test_stringfast_variable_blends_cosine_and_lev(spark):
+    """StringFast keeps this engine's cheaper Catalyst-native blend
+    (similarity semantics: identical -> 1.0, dissimilar -> small)."""
+    r = _feat(
+        spark,
+        [("main street", "main street", "main street", "oak avenue")],
+        "s1_a string, s1_b string, s2_a string, s2_b string",
+        [
+            {"field": "s1", "type": "StringFast"},
+            {"field": "s2", "type": "StringFast"},
         ],
     )
     assert r["s1"] == pytest.approx(1.0)
