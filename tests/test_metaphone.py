@@ -97,6 +97,22 @@ def test_double_metaphone_codes_set():
     assert mp.metaphone_codes("9301") == set()
 
 
+def test_fixture_vocabulary_pinned():
+    """The CORRECTNESS gate's metaphone_keys oracle joins against
+    __spark_entry__.METAPHONE_VOCAB — a truth table derived BY HAND from
+    the published rule set, not generated from this implementation. This
+    test closes the loop: the implementation must reproduce every
+    hand-derived row (sorted '|'-joined code-set contract), so a bug in
+    either the DM state machine or the lookup table surfaces here AND at
+    the gate."""
+    import __spark_entry__ as e
+
+    assert len(e.METAPHONE_VOCAB) == 30
+    for token, want in e.METAPHONE_VOCAB.items():
+        got = "|".join(sorted(mp.metaphone_codes(token)))
+        assert got == want, (token, got, want)
+
+
 def test_phonetic_cross_spelling_coblocks():
     """The property the blocking family exists for: common cross-
     spellings share at least one code."""
