@@ -181,6 +181,79 @@ def test_iceberg_target_is_identifier_not_path(spark):
         spark.conf.unset("spark.sql.catalog.lake")
 
 
+def test_iceberg_write_read_call_shape(spark):
+    """Pin the seam's BEHAVIOR, not just its fail-fast (VERDICT r03
+    'What's missing' #1): with the runtime jar absent, drive
+    IcebergFormat.write/read against stub objects recording the
+    DataFrameWriterV2 call chain. The contract on a real catalog is
+    exactly: writeTo(<identifier>).using('iceberg')
+    [.partitionedBy(Column...)].createOrReplace() — createOrReplace is
+    the atomic snapshot commit — and read via spark.read.table."""
+    from ny_campaign_finance_dedupe_spark.sources.checkpoint import (
+        IcebergFormat,
+    )
+
+    spark.conf.set(
+        "spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        fmt = IcebergFormat(spark, "lake")
+
+        calls = []
+
+        class WriterStub:
+            def using(self, fmt_name):
+                calls.append(("using", fmt_name))
+                return self
+
+            def partitionedBy(self, *cols):
+                calls.append(("partitionedBy", cols))
+                return self
+
+            def createOrReplace(self):
+                calls.append(("createOrReplace",))
+
+        class DfStub:
+            def writeTo(self, ident):
+                calls.append(("writeTo", ident))
+                return WriterStub()
+
+        fmt.write(DfStub(), "lake.checkpoints.rabc_block")
+        assert calls == [
+            ("writeTo", "lake.checkpoints.rabc_block"),
+            ("using", "iceberg"),
+            ("createOrReplace",),
+        ]
+
+        calls.clear()
+        fmt.write(
+            DfStub(), "lake.checkpoints.rabc_extract", partition_by=["lang"]
+        )
+        assert [c[0] for c in calls] == [
+            "writeTo", "using", "partitionedBy", "createOrReplace",
+        ]
+        (pcols,) = [c[1] for c in calls if c[0] == "partitionedBy"]
+        # partitionedBy must receive Column expressions (identity
+        # transform), one per partition column
+        from pyspark.sql import Column
+
+        assert len(pcols) == 1 and isinstance(pcols[0], Column)
+
+        class ReadStub:
+            def table(self, ident):
+                calls.append(("read.table", ident))
+                return "DF"
+
+        class SparkStub:
+            read = ReadStub()
+
+        calls.clear()
+        assert fmt.read(SparkStub(), "lake.checkpoints.rabc_block") == "DF"
+        assert calls == [("read.table", "lake.checkpoints.rabc_block")]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+
+
 def test_checkpoint_resume_with_partitioned_stage(spark, tmp_path):
     """Resume semantics are format-independent: a partitioned stage
     written once is reused by has()+read() with identical rows."""
