@@ -127,3 +127,27 @@ def test_fused_minhash_simhash_matches_singles(spark):
     a = {r["id"]: (r["sig"], r["sim"]) for r in fused.collect()}
     b = {r["id"]: (r["sig"], r["sim"]) for r in singles.collect()}
     assert a == b
+
+
+def test_lsh_topk_recall_at_default_geometry(spark):
+    """Planted-truth recall gate for the LSH ANN path (VERDICT r03 #8):
+    200 queries planted at cosine 0.99 to a corpus vector among 2000
+    distractors; the default geometry (bands=8, bits=12) must put the
+    planted neighbor in top-10 for >= 0.99 of queries. The analytic
+    hyperplane model predicts 0.999 here; the full measured-vs-analytic
+    sweep across geometries is tools/lsh_recall_sweep.py (table in
+    BASELINE.md "LSH-ANN recall curve")."""
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parents[1] / "tools")
+    )
+    try:
+        import lsh_recall_sweep as sweep
+    finally:
+        sys.path.pop(0)
+
+    assert sweep.analytic_recall(0.99, 8, 12) >= 0.99
+    got = sweep.measured_recall(spark, cosine=0.99, bands=8, bits=12)
+    assert got >= 0.99, f"recall@10 {got} below 0.99 at default geometry"
