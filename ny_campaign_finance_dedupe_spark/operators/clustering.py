@@ -410,16 +410,31 @@ def split_oversize_components(
     threshold: float,
     max_component: int = MAX_COMPONENT,
     max_rounds: int = 5,
+    report: dict | None = None,
 ) -> DataFrame:
     """C2 (clustering.py:63-98): components over ``max_component`` members
     re-filter their edges at logit(min kept score) + 1 and re-cluster,
     recursing (bounded). The semantic skew guard on top of salting/AQE.
+
+    ``report``, when given, records engagement evidence at no extra job
+    cost beyond one count on the (tiny) oversize-id list:
+    ``{"rounds": n executed, "oversize_round1": count in round 1}`` —
+    the skew bench (tools/skew_bench.py) uses it to show the guard fired.
     """
     out = clustered
-    for _ in range(max_rounds):
+    if report is not None:
+        report.setdefault("rounds", 0)
+    for round_no in range(max_rounds):
         sizes = out.groupBy("cluster_id").count()
         big = sizes.where(F.col("count") > max_component).select("cluster_id")
-        if big.isEmpty():
+        if report is not None:
+            n_big = big.count()
+            if round_no == 0:
+                report["oversize_round1"] = n_big
+            if n_big == 0:
+                return out
+            report["rounds"] = round_no + 1
+        elif big.isEmpty():
             return out
         # broadcast only the (tiny) oversize-cluster-id list; big_members
         # can be max_component x n_big rows — a shuffled semi-join, never

@@ -132,12 +132,53 @@ def _render(rng: np.random.Generator, words: list[str]) -> str:
     return " ".join(out)
 
 
+def _template_words(seed: int, family: int) -> list[str]:
+    """Boilerplate template body for one skew family: ~60 shared words
+    (site chrome / legal footer analog). Deterministic in (seed, family)."""
+    trng = np.random.default_rng((seed << 21) ^ 0x7E47 ^ family)
+    return [_VOCAB[i] for i in trng.integers(0, len(_VOCAB), 60)]
+
+
 def _gen_batch(pdfs: Iterator[pd.DataFrame], *, seed: int, dup_rate: float,
-               n_domains: int, null_text_rate: float) -> Iterator[pd.DataFrame]:
+               n_domains: int, null_text_rate: float,
+               skew_domain_frac: float = 0.0,
+               skew_templates: int = 1) -> Iterator[pd.DataFrame]:
+    tcache: dict[int, str] = {}
     for pdf in pdfs:
         rows = []
         for pid in pdf["id"].to_numpy():
             pid = int(pid)
+            # skew decision on an INDEPENDENT rng stream: skew=0 output
+            # stays byte-identical to the historical generator (tests,
+            # oracles, and the scaling series all depend on that)
+            if skew_domain_frac > 0.0:
+                srng = np.random.default_rng((seed << 21) ^ 0xB0B0 ^ pid)
+                if srng.random() < skew_domain_frac:
+                    fam = int(srng.integers(0, skew_templates))
+                    if fam not in tcache:
+                        tcache[fam] = " ".join(_template_words(seed, fam))
+                    # shared ~60-word template + unique slug: pages are
+                    # near-identical (hot minhash bands, one hot domain)
+                    # but not byte-equal (exact-dedup must not collapse
+                    # the stress away)
+                    text = f"{tcache[fam]} ref{pid} page{pid % 9973}"
+                    rows.append(
+                        {
+                            "url": f"https://template{fam}.example.com"
+                            f"/p/{pid:012d}",
+                            "warc_ts": pd.Timestamp("2026-01-01")
+                            + pd.Timedelta(seconds=pid % 86400),
+                            "html": (
+                                f"<html><body><p>{text}</p></body></html>"
+                            ).encode(),
+                            "text": text,
+                            "lang": _LANGS[pid % len(_LANGS)],
+                            # one entity per template family (the pages
+                            # ARE near-dups of each other by design)
+                            "entity_id": -(fam + 1),
+                        }
+                    )
+                    continue
             rng = np.random.default_rng((seed << 20) ^ pid)
             # page -> entity assignment: a dup_rate fraction of pages are
             # extra copies of an earlier entity (geometric-ish copy index)
@@ -194,12 +235,23 @@ def synth_pages(
     n_domains: int = 50,
     null_text_rate: float = 0.01,
     partitions: int | None = None,
+    skew_domain_frac: float = 0.0,
+    skew_templates: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(pages, entities)``; both deterministic in (seed, n_pages).
 
     ``pages`` has the exact input_hint shape; ``entities(url, entity_id)``
     is the oracle sidecar (FIXTURES.md §3).
-    """
+
+    ``skew_domain_frac`` > 0 plants blocking-key skew: that fraction of
+    pages become boilerplate template pages spread over
+    ``skew_templates`` template families — each family shares one hot
+    domain and a near-identical ~60-word body (hot minhash bands), with
+    a unique per-page slug so exact-dedup cannot collapse the stress
+    away. Each family is one entity (id -(family+1)); decided on an
+    independent rng stream, so skew=0 output is byte-identical to the
+    historical generator. NOTE: true_pairs on a skewed corpus is
+    quadratic in the family size — don't materialize it at scale."""
     parts = partitions or max(2, n_pages // 25_000)
     base = spark.range(0, n_pages, numPartitions=parts)
     full = base.mapInPandas(
@@ -209,6 +261,8 @@ def synth_pages(
             dup_rate=dup_rate,
             n_domains=n_domains,
             null_text_rate=null_text_rate,
+            skew_domain_frac=skew_domain_frac,
+            skew_templates=skew_templates,
         ),
         schema=_GEN_SCHEMA,
     )
