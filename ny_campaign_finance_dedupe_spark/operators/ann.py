@@ -362,7 +362,23 @@ def portable_bucket_keys(
 
 
 def _maybe_round(col: Column, nd: int | None) -> Column:
-    return F.round(col, nd) if nd is not None else col
+    """Half-away-from-zero quantizer on the BINARY double — the exact
+    expression twin of ``_round_half_away`` (and of DuckDB ROUND, which
+    rounds the binary value via std::round). Deliberately NOT F.round:
+    Spark's Round on doubles goes through the shortest-decimal string
+    (BigDecimal.valueOf, HALF_UP), which disagrees with the binary rule
+    at values like 0.145@2dp — using it would leave the operator's two
+    physical paths (broadcast GEMM vs distributed join) divergent at
+    exactly the tie points round_decimals exists to pin down. Safe for
+    the cosine domain: |x|*10^nd + 0.5 <= ~1e9+0.5 fits F.floor's long.
+    """
+    if nd is None:
+        return col
+    scale = F.lit(float(10.0**nd))
+    return (
+        F.signum(col)
+        * (F.floor(F.abs(col) * scale + F.lit(0.5)) / scale)
+    )
 
 
 def lsh_topk(

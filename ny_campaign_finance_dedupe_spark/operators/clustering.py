@@ -416,10 +416,12 @@ def split_oversize_components(
     re-filter their edges at logit(min kept score) + 1 and re-cluster,
     recursing (bounded). The semantic skew guard on top of salting/AQE.
 
-    ``report``, when given, records engagement evidence at no extra job
-    cost beyond one count on the (tiny) oversize-id list:
-    ``{"rounds": n executed, "oversize_round1": count in round 1}`` —
-    the skew bench (tools/skew_bench.py) uses it to show the guard fired.
+    ``report``, when given, records engagement evidence — extra cost is
+    one count on the (tiny) oversize-id list plus one max() over the
+    round-1 size agg: ``{"rounds": n executed, "oversize_round1": count
+    in round 1, "max_cluster_round1": biggest input component}`` — the
+    skew bench (tools/skew_bench.py) uses it to show the guard fired on
+    the REAL pipeline code path rather than a reimplementation.
     """
     out = clustered
     if report is not None:
@@ -428,9 +430,19 @@ def split_oversize_components(
         sizes = out.groupBy("cluster_id").count()
         big = sizes.where(F.col("count") > max_component).select("cluster_id")
         if report is not None:
-            n_big = big.count()
             if round_no == 0:
-                report["oversize_round1"] = n_big
+                first = sizes.agg(
+                    F.count("*").alias("n"),
+                    F.max("count").alias("mx"),
+                    F.count(F.when(F.col("count") > max_component, 1)).alias(
+                        "big"
+                    ),
+                ).collect()[0]
+                report["max_cluster_round1"] = first["mx"] or 0
+                report["oversize_round1"] = first["big"]
+                n_big = first["big"]
+            else:
+                n_big = big.count()
             if n_big == 0:
                 return out
             report["rounds"] = round_no + 1

@@ -57,11 +57,16 @@ EXACT_DUP_PERSIST_BYTES = 64 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's own size estimate for the optimized plan (file sizes
-    for file sources, actual bytes for local relations). None when the
-    JVM handle is unavailable (e.g. Connect)."""
+    """Catalyst's own size estimate for the ANALYZED plan (file sizes
+    for file sources, actual bytes for local relations). Analyzed — not
+    optimized — on purpose: reading optimizedPlan() here would force the
+    full optimizer rule pipeline synchronously on the driver at
+    DataFrame-construction time (seconds for a deep upstream DAG), then
+    run it again at the real action; analysis alone is cheap and happens
+    on first use regardless. None when the JVM handle is unavailable
+    (e.g. Connect)."""
     try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
     except Exception:
         return None
     # Long.MaxValue is Catalyst's "unknown" sentinel
@@ -111,16 +116,17 @@ def exact_duplicates(
     return _tag_persisted(out, keyed) if do_persist else out
 
 
-#: Absolute ceiling on the canopy stop-word cap. The reference's 5% arm
-#: (canopy_index.py:22) was tuned for N<=483k where the 1000 floor binds;
-#: at web scale (N=1e11) 5% is 5e9 docs per shingle and the shingle
-#: self-join's sum(df^2) term is effectively quadratic — one boilerplate
-#: shingle in 4.9% of the corpus would emit ~2.4e19 candidate pairs. An
-#: absolute ceiling keeps the worst shingle's contribution at
-#: O(N * ABS_DF_CAP) total pairs regardless of corpus size. 5000 keeps the
-#: rule byte-identical to the reference for every N <= 100k (where
-#: 0.05*N <= 5000), i.e. for the reference's whole operating range and all
-#: of this repo's fixtures.
+#: Absolute ceiling on the canopy stop-word cap. The reference's rule
+#: max(1000, 0.05*N) (canopy_index.py:22) grows without bound: at web
+#: scale (N=1e11) 5% is 5e9 docs per shingle and the shingle self-join's
+#: sum(df^2) term is effectively quadratic — one boilerplate shingle in
+#: 4.9% of the corpus would emit ~2.4e19 candidate pairs. The ceiling
+#: keeps the worst shingle's contribution at O(N * ABS_DF_CAP) total
+#: pairs regardless of corpus size. 5000 keeps the rule byte-identical
+#: to the reference for N <= 100k (covers every fixture here and most of
+#: the reference's runs; its largest, 483k donors, would have used
+#: 24,150 — lowering that to 5000 is a DELIBERATE scale-safety
+#: deviation, documented, not an equivalence).
 ABS_DF_CAP = 5000
 
 
@@ -128,9 +134,11 @@ def default_df_cap(n_docs: int, abs_cap: int = ABS_DF_CAP) -> int:
     """The canopy stop-word rule (canopy_index.py:22) with a scale guard:
     a shingle occurring in more than max(1000, 5% of docs) documents is
     boilerplate, not signal — and its df^2 contribution to the shingle
-    self-join is the one unbounded term in the plan. The 5% arm is capped
-    at ``abs_cap`` (see ABS_DF_CAP) so the rule stays linear in N at any
-    corpus size. Always pass a cap at scale."""
+    self-join is the one unbounded term in the plan. Computed as
+    ``min(max(1000, 0.05*N), abs_cap)`` — note the ceiling caps the
+    WHOLE reference expression, so an ``abs_cap`` below 1000 also lowers
+    the floor (the planted-boilerplate tests exploit this). Always pass
+    a cap at scale."""
     return min(max(1000, int(0.05 * n_docs)), abs_cap)
 
 

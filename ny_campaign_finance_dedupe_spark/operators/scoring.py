@@ -227,6 +227,22 @@ def variable_features(
     }
     for var in spec:
         t = var.get("type", "String")
+        if "type" not in var and "field" in var:
+            # String semantics changed in round 4 (similarity blend ->
+            # the reference's affine-gap DISTANCE, direction inverted).
+            # Explicit "String" users see the table above; implicit
+            # defaulters get one loud signal instead of silently
+            # inverted features under an old model/threshold.
+            import warnings
+
+            warnings.warn(
+                f'variable spec for field "{var["field"]}" omits "type"; '
+                'defaulting to "String", which is now the affine-gap '
+                "DISTANCE (higher = more different). Use "
+                '"StringFast" for the previous cosine+levenshtein '
+                "similarity blend.",
+                stacklevel=2,
+            )
         if t == "Interaction":
             f1, f2 = var["interaction"]
 

@@ -218,7 +218,12 @@ class DedupePipeline:
         model = scoring.LogisticModel.from_dict(self.cfg.model)
         return scoring.score_pairs(feat, model).select("src", "dst", "score")
 
-    def cluster(self, scored: DataFrame, records: DataFrame) -> DataFrame:
+    def cluster(
+        self,
+        scored: DataFrame,
+        records: DataFrame,
+        c2_report: dict | None = None,
+    ) -> DataFrame:
         # materialize the CC map once: split_oversize's emptiness probe
         # and the stage's checkpoint write both consume it, and without a
         # checkpoint each one re-evaluates the idmap-join + relabel +
@@ -227,7 +232,11 @@ class DedupePipeline:
             scored, threshold=self.cfg.score_threshold
         ).localCheckpoint()
         cl = clustering.split_oversize_components(
-            scored, cl, self.cfg.score_threshold, self.cfg.max_component
+            scored,
+            cl,
+            self.cfg.score_threshold,
+            self.cfg.max_component,
+            report=c2_report,
         )
         if self.cfg.use_hac:
             from ..operators import refine

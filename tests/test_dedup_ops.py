@@ -390,3 +390,52 @@ def test_cogroup_pairs_match_join_pairs(spark):
     a = {(r["src"], r["dst"]) for r in P.candidate_pairs(bm).collect()}
     b = {(r["src"], r["dst"]) for r in P.pairs_via_cogroup(bm).collect()}
     assert a == b == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_quantizer_parity_across_physical_paths(spark):
+    """round_decimals must be ONE function on every physical path: the
+    broadcast-GEMM numpy kernel (_round_half_away), the distributed
+    Catalyst expression (_maybe_round), and DuckDB ROUND all round the
+    BINARY double half-away-from-zero. F.round would disagree (it
+    rounds the shortest-decimal string, e.g. 0.145@2dp -> 0.15 vs
+    0.14), which is why _maybe_round is an explicit floor expression."""
+    import numpy as np
+
+    vals = [0.145, -0.145, 0.575, 0.5005, -0.5005, 0.9999999995, 0.0,
+            1.0, -1.0, 0.1234567894999]
+    for nd in (2, 3, 9):
+        want = ann._round_half_away(np.array(vals), nd)
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r["q"]
+            for r in df.select(
+                ann._maybe_round(F.col("x"), nd).alias("q")
+            ).collect()
+        ]
+        assert got == list(want), (nd, got, list(want))
+    # and with nd=None the column passes through untouched
+    df = spark.createDataFrame([(0.145,)], "x double")
+    assert df.select(ann._maybe_round(F.col("x"), None)).collect()[0][0] == 0.145
+
+
+def test_brute_force_paths_agree_with_quantizer(spark):
+    """The operator's two physical strategies (broadcast GEMM vs
+    distributed join) must return the same top-k under the quantizer —
+    the cross-path determinism round_decimals exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = ann.brute_force_topk(
+        df, df, k=3, broadcast_queries=True, round_decimals=9
+    ).collect()
+    b = ann.brute_force_topk(
+        df, df, k=3, broadcast_queries=False, round_decimals=9
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    sa = {key(r): (r["neighbor_id"], r["cosine"]) for r in a}
+    sb = {key(r): (r["neighbor_id"], r["cosine"]) for r in b}
+    assert sa == sb

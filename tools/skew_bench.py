@@ -62,7 +62,6 @@ def mode_params(mode: str) -> dict:
 def worker(mode: str, pages_n: int, cores: int, seed: int) -> None:
     import pyspark.sql.functions as F
 
-    from ny_campaign_finance_dedupe_spark.operators import clustering
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
         PipelineConfig,
@@ -122,19 +121,16 @@ def worker(mode: str, pages_n: int, cores: int, seed: int) -> None:
     cand = pipe.gen_pairs(bm)
     scored = pipe.score(cand, ext).persist()
     ev["scored_pairs"] = scored.count()
-    cl = clustering.cluster_edges(
-        scored, threshold=cfg.score_threshold
-    ).localCheckpoint()
-    pre_max = cl.groupBy("cluster_id").count().agg(F.max("count")).collect()
-    ev["pre_split_max_cluster"] = pre_max[0][0] if pre_max else 0
+    # drive the REAL pipeline cluster stage (cluster_edges +
+    # split_oversize + add_singletons inside DedupePipeline.cluster);
+    # the c2_report hook surfaces engagement off that code path instead
+    # of a bench-side reimplementation that could drift
     c2: dict = {}
-    cl = clustering.split_oversize_components(
-        scored, cl, cfg.score_threshold, cfg.max_component, report=c2
-    )
-    em = clustering.add_singletons(signed, "url", cl)
+    em = pipe.cluster(scored, signed, c2_report=c2)
     rows = em.count()
     post_max = em.groupBy("cluster_id").count().agg(F.max("count")).collect()
     ev["post_split_max_cluster"] = post_max[0][0] if post_max else 0
+    ev["pre_split_max_cluster"] = c2.get("max_cluster_round1", 0)
     ev["c2_rounds"] = c2.get("rounds", 0)
     ev["c2_oversize_round1"] = c2.get("oversize_round1", 0)
     secs = time.perf_counter() - t0
