@@ -1399,7 +1399,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src, dst
         """,
         "normalize_canonical": _normalize_canonical_sql(),
-        "set_keys": """
+        "set_keys": r"""
             WITH s AS (SELECT doc_id, text,
                               list_sort(list_filter(list_distinct(
                                 string_split_regex(text, '\s+')),
