@@ -306,6 +306,23 @@ def variable_features(
             # distance (variables/string.py:45-66). StringType inherits
             # ShortStringType's affineGap, so both route here; the
             # cheaper cosine+lev blend remains opt-in as "StringFast"
+            if var.get("crf", False) is True:
+                # the reference's optional learned comparator
+                # (variables/string.py:56-66, {"crf": True}) swaps in
+                # highered.CRFEditDistance — a PRETRAINED pairwise CRF
+                # whose value comes from its shipped model weights, not
+                # its code. Those weights are a binary artifact of the
+                # highered package, not public rules that can be
+                # reimplemented; a fresh-weights lookalike would score
+                # differently while claiming parity. Declared boundary
+                # (COVERAGE.md), fail-fast like the compressed-codec one.
+                raise NotImplementedError(
+                    f'variable "{f}": {{"crf": true}} requires the '
+                    "highered package's pretrained CRF model weights, "
+                    "which are a binary artifact this engine does not "
+                    "ship. Use the default affine-gap comparator "
+                    '(omit "crf") or "StringFast".'
+                )
             expr = affine_gap_udf()(a, b)
         elif t in ("StringFast", "Text"):
             cols = feature_columns(a, b)

@@ -198,6 +198,26 @@ def test_string_variable_uses_affine_gap(spark):
     assert r["s2"] == pytest.approx(want)
 
 
+def test_crf_spec_key_fails_fast(spark):
+    """The reference's optional {"crf": True} comparator
+    (variables/string.py:56-66) swaps in highered's PRETRAINED CRF edit
+    distance — model weights this engine cannot ship or honestly
+    reimplement. The spec key is recognized and refused loudly (declared
+    boundary), never silently scored with a different comparator."""
+    df = spark.createDataFrame(
+        [("a", "b")], "name_a string, name_b string"
+    )
+    with pytest.raises(NotImplementedError, match="crf"):
+        scoring.with_variable_features(
+            df, [{"field": "name", "type": "String", "crf": True}]
+        )
+    # crf: False is the reference default — plain affine-gap, no error
+    out = scoring.with_variable_features(
+        df, [{"field": "name", "type": "ShortString", "crf": False}]
+    )
+    assert "name" in out.columns
+
+
 def test_stringfast_variable_blends_cosine_and_lev(spark):
     """StringFast keeps this engine's cheaper Catalyst-native blend
     (similarity semantics: identical -> 1.0, dissimilar -> small)."""
