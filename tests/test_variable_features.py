@@ -198,6 +198,25 @@ def test_string_variable_uses_affine_gap(spark):
     assert r["s2"] == pytest.approx(want)
 
 
+def test_implicit_string_default_warns(spark):
+    """A spec entry that omits "type" still defaults to String (the
+    reference's default field type), but warns once — round 4 inverted
+    String's direction (similarity blend -> affine-gap DISTANCE), so a
+    silent default would silently invert features under an old model."""
+    df = spark.createDataFrame([("a", "b")], "name_a string, name_b string")
+    with pytest.warns(UserWarning, match="StringFast"):
+        out = scoring.with_variable_features(df, [{"field": "name"}])
+    assert "name" in out.columns
+    # explicit type: no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        scoring.with_variable_features(
+            df, [{"field": "name", "type": "String"}]
+        )
+
+
 def test_crf_spec_key_fails_fast(spark):
     """The reference's optional {"crf": True} comparator
     (variables/string.py:56-66) swaps in highered's PRETRAINED CRF edit
