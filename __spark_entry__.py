@@ -160,6 +160,44 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+#: Winnowing geometry for the gate queries: k=8-char grams, w=4-hash
+#: windows — guarantee threshold w+k-1 = 11 chars, density 2/(w+1) = 0.4.
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD 2003) as a postings list: one (record_id, fp) row per
+    selected k-gram hash. Portable hash60 family so DuckDB recomputes
+    the values bit-identically; the fast family is xxhash64."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.explode(
+            textstats.winnow_fingerprints(
+                F.col("text"), k=WINNOW_K, w=WINNOW_W, family="portable"
+            )
+        ).alias("fp"),
+    ).orderBy("record_id", "fp")
+
+
+def q_winnow_neardup(spark, sf_dir):
+    """Near-dup pairs by Jaccard >= 0.5 over winnowing fingerprint sets —
+    the same df-capped postings equi-join as ngram_jaccard_dedup but on
+    a ~(w+1)/2-x smaller selected-hash postings table."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        threshold=0.5,
+        df_cap=_doc_df_cap(docs),
+        family="portable",
+    ).orderBy("src", "dst")
+
+
 def q_cc_jaccard_clusters(spark, sf_dir):
     """C1/C5: connected components over Jaccard>=0.8 edges + singletons —
     the transitive-clustering operator with a recursive-CTE oracle."""
@@ -755,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": q_fingerprint_clusters,
         "blocking_first_token_pairs": q_blocking_first_token_pairs,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_neardup": q_winnow_neardup,
         "cc_jaccard_clusters": q_cc_jaccard_clusters,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -839,6 +879,71 @@ jac AS (
 _GRAMS_BODY = _GRAMS_BODY.replace("{abs_cap}", str(dedup.ABS_DF_CAP))
 _GRAMS = "WITH " + _GRAMS_BODY
 _GRAMS_REC = "WITH RECURSIVE " + _GRAMS_BODY
+
+# Winnowing fingerprint CTEs (textstats.winnow_fingerprints, portable
+# hash60 family): per-position k-gram md5-hash list, w-window minima,
+# sorted distinct selection. Mirrors the Spark expression branch for
+# branch: NULL text -> NULL, empty -> [], shorter than k -> whole-text
+# gram, <= w hashes -> one window.
+_WINNOW_BODY = """
+wg AS (SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             WHEN len(text) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(text) < {k}
+               THEN [CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)]
+             ELSE list_transform(range(1, len(text)-{k}+2),
+                    i -> CAST(concat('0x',
+                          substring(md5(substring(text, i, {k})), 1, 15))
+                         AS BIGINT))
+        END AS hs
+       FROM documents),
+ww AS (SELECT doc_id,
+        CASE WHEN hs IS NULL THEN NULL
+             WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(hs) <= {w} THEN [list_min(hs)]
+             ELSE list_transform(range(1, len(hs)-{w}+2),
+                    j -> list_min(list_slice(hs, j, j+{w}-1)))
+        END AS wins
+       FROM wg),
+wfp AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM ww)
+"""
+
+
+def _winnow_sql(k: int, w: int) -> str:
+    return "WITH " + _WINNOW_BODY.replace("{k}", str(k)).replace(
+        "{w}", str(w)
+    )
+
+
+def _winnow_neardup_sql(k: int, w: int, threshold: float) -> str:
+    """df-capped fingerprint-postings self-join + set Jaccard — the SQL
+    twin of dedup.winnow_jaccard_pairs (cap rule mirrors _GRAMS/capv)."""
+    return (
+        _winnow_sql(k, w)
+        + f""",
+        capv AS (SELECT least(greatest(1000,
+                           CAST(floor(0.05 * COUNT(*)) AS BIGINT)),
+                         {dedup.ABS_DF_CAP}) AS cap
+                 FROM documents),
+        hot AS (SELECT fp FROM wfp GROUP BY fp
+                HAVING COUNT(*) > (SELECT cap FROM capv)),
+        kept AS (SELECT doc_id, fp FROM wfp
+                 WHERE fp NOT IN (SELECT fp FROM hot)),
+        cnt AS (SELECT doc_id, COUNT(*) AS ng FROM kept GROUP BY doc_id),
+        sh AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                      COUNT(*) AS shared
+               FROM kept a JOIN kept b ON a.fp = b.fp
+               WHERE a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+        SELECT sh.src, sh.dst,
+               CAST(shared AS DOUBLE) / (ca.ng + cb.ng - shared) AS jaccard
+        FROM sh JOIN cnt ca ON ca.doc_id = sh.src
+                JOIN cnt cb ON cb.doc_id = sh.dst
+        WHERE CAST(shared AS DOUBLE) / (ca.ng + cb.ng - shared)
+              >= {threshold}
+        ORDER BY src, dst
+        """
+    )
 
 _FP = (
     "array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')"
@@ -1131,6 +1236,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_dedup": _GRAMS
         + "SELECT src, dst, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY src, dst",
+        "winnow_fingerprints": _winnow_sql(WINNOW_K, WINNOW_W)
+        + """SELECT doc_id AS record_id, fp FROM wfp
+             ORDER BY record_id, fp""",
+        "winnow_neardup": _winnow_neardup_sql(WINNOW_K, WINNOW_W, 0.5),
         "cc_jaccard_clusters": _GRAMS_REC
         + """,
         e AS (SELECT src, dst FROM jac WHERE jaccard >= 0.8),

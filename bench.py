@@ -36,6 +36,7 @@ HEADLINE = [
     "fingerprint_clusters",
     "blocking_first_token_pairs",
     "ngram_jaccard_dedup",
+    "winnow_neardup",
     "cc_jaccard_clusters",
     "minhash_dedup",
     "simhash_dedup",
@@ -63,6 +64,14 @@ def _fast_minhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.minhash_candidate_pairs(
         docs, "doc_id", "text", est_threshold=0.5
+    )
+
+
+def _fast_winnow(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnow_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5,
+        df_cap=dedup.default_df_cap(docs.count()), family="fast",
     )
 
 
@@ -100,6 +109,7 @@ _SCRATCH_STORES: list = []  # checkpoint dirs to rmtree after materialization
 
 
 BENCH_VARIANT = {
+    "winnow_neardup": _fast_winnow,
     "minhash_dedup": _fast_minhash,
     "simhash_dedup": _fast_simhash,
     "lsh_ann_topk": _fast_lsh_ann,

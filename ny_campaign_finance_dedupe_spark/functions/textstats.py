@@ -110,3 +110,82 @@ def doc_fingerprint(text: Column) -> Column:
     a compact id when needed — the string form is the SQL-checkable
     canonical."""
     return F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(F.lower(text)))))
+
+
+def winnow_fingerprints(
+    text: Column,
+    k: int = 8,
+    w: int = 4,
+    family: str = "fast",
+) -> Column:
+    """Winnowing rolling-hash document fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): hash every character ``k``-gram,
+    slide a ``w``-hash window, keep each window's minimum hash; the
+    sorted distinct selected hashes are the document's fingerprint set
+    (array<bigint>, null for null text, empty for empty text).
+
+    Guarantees (the paper's §2): any substring match of length
+    >= w + k - 1 between two documents contributes at least one SHARED
+    fingerprint, and expected density is 2/(w+1) — so the set is both a
+    near-dup join key source and a bounded-size sketch.
+
+    Fully Catalyst-native (substr/md5-or-xxhash64/transform/slice/
+    array_min) — no Python in the plan. The classic formulation computes
+    each gram hash in O(1) from its neighbor (Karp-Rabin "rolling");
+    here each k-gram (k <= ~16 bytes) is hashed independently — inside
+    the JVM that is the same memory-bandwidth-bound cost without the
+    modular-arithmetic dependency chain, and it keeps the values
+    engine-portable. Note the higher-order ops run interpreted (no
+    codegen inside lambdas — see keygen._bind), so per-doc cost is
+    O(len * w) interpreted array ops: linear in the corpus, the same
+    trade the portable minhash family makes.
+
+    ``family``: "fast" hashes grams with xxhash64 (JVM, cheapest);
+    "portable" uses portable.hash60 (md5-derived) so DuckDB recomputes
+    the values bit-identically — the gate query uses this. The SELECTED
+    POSITIONS depend on the hash values, so the two families emit
+    different (internally consistent) fingerprint sets; the coverage
+    guarantee holds within either family.
+    """
+    from .keygen import _bind
+    from .portable import hash60
+
+    if family == "portable":
+        h = hash60
+    elif family == "fast":
+        h = F.xxhash64
+    else:
+        raise ValueError(f"unknown winnow family: {family!r}")
+    empty = F.array().cast("array<bigint>")
+    n = F.length(text)
+
+    def _fps(hs: Column) -> Column:
+        nw = F.size(hs) - w + 1
+        wins = F.when(
+            nw >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            ),
+        ).otherwise(
+            F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(empty)
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    npos = n - k + 1
+    grams = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: h(text.substr(i, F.lit(k))),
+        ),
+    ).otherwise(
+        # shorter than one gram: the whole text is the only gram
+        F.when(n > 0, F.array(h(text))).otherwise(empty)
+    )
+    # _bind: the gram-hash array feeds size() and every window slice —
+    # unbound it would re-evaluate per window element (O(len^2) hashing)
+    return F.when(text.isNull(), F.lit(None).cast("array<bigint>")).otherwise(
+        _bind(grams, _fps)
+    )

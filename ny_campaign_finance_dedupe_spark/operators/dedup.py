@@ -156,26 +156,34 @@ def ngram_jaccard_pairs(
     so cost is sum over shingles of df(shingle)^2 — bounded by ``df_cap``
     (drop shingles appearing in more than df_cap docs; stop-word rule).
     """
-    grams = (
-        df.select(
-            F.col(id_col).alias("record_id"),
-            F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .distinct()
-        # reused by df-profile (cap), per-doc counts, and BOTH join sides:
-        # without a persist the explode+distinct subtree evaluates 3-4x.
-        .persist()
-    )
-    _cached = grams
+    grams = df.select(
+        F.col(id_col).alias("record_id"),
+        F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    return _postings_jaccard_pairs(grams, threshold, df_cap)
+
+
+def _postings_jaccard_pairs(
+    postings: DataFrame, threshold: float, df_cap: int | None
+) -> DataFrame:
+    """Shared tail of ngram_jaccard_pairs / winnow_jaccard_pairs:
+    distinct (record_id, gram) postings -> (src, dst, jaccard >=
+    threshold) via the df-capped gram equi-join. Cost is sum over kept
+    grams of df(gram)^2 — ``df_cap`` (the canopy stop-word rule +
+    ABS_DF_CAP ceiling) is the bound that keeps it linear-ish at scale."""
+    # reused by df-profile (cap), per-doc counts, and BOTH join sides:
+    # without a persist the postings subtree evaluates 3-4x.
+    postings = postings.persist()
+    _cached = postings
     if df_cap is not None:
         hot = (
-            grams.groupBy("gram").count().where(F.col("count") > df_cap)
+            postings.groupBy("gram").count().where(F.col("count") > df_cap)
             .select("gram")
         )
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
-    counts = grams.groupBy("record_id").agg(F.count("*").alias("ng"))
-    g1 = grams.alias("a")
-    g2 = grams.alias("b")
+        postings = postings.join(F.broadcast(hot), "gram", "left_anti")
+    counts = postings.groupBy("record_id").agg(F.count("*").alias("ng"))
+    g1 = postings.alias("a")
+    g2 = postings.alias("b")
     shared = (
         g1.join(g2, "gram")
         .where(F.col("a.record_id") < F.col("b.record_id"))
@@ -195,6 +203,38 @@ def ngram_jaccard_pairs(
         .select("src", "dst", "jaccard")
     )
     return _tag_persisted(out, _cached)
+
+
+def winnow_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    family: str = "fast",
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprint sets
+    (textstats.winnow_fingerprints — Schleimer et al., SIGMOD 2003).
+
+    Same contract and plan shape as ngram_jaccard_pairs, but the join
+    key is a selected rolling-hash fingerprint instead of every word
+    n-gram: expected 2/(w+1) fingerprints per character position, so the
+    postings table is ~(w+1)/2 x smaller than char-gram postings at the
+    same k — the paper's point — while any shared substring of length
+    >= w + k - 1 still lands both docs in one bucket. Output
+    (src, dst, jaccard), src < dst, jaccard over the fingerprint SETS
+    (a near-dup ranking signal, not text Jaccard)."""
+    from ..functions.textstats import winnow_fingerprints
+
+    postings = df.select(
+        F.col(id_col).alias("record_id"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=k, w=w, family=family)
+        ).alias("gram"),
+    ).distinct()
+    return _postings_jaccard_pairs(postings, threshold, df_cap)
 
 
 def minhash_candidate_pairs(
