@@ -160,9 +160,13 @@ def q_ngram_jaccard_dedup(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
-#: Winnowing geometry for the gate queries: k=8-char grams, w=4-hash
-#: windows — guarantee threshold w+k-1 = 11 chars, density 2/(w+1) = 0.4.
-WINNOW_K, WINNOW_W = 8, 4
+#: Winnowing geometry for the gate queries: k=16-char grams, w=8-hash
+#: windows — guarantee threshold w+k-1 = 23 chars, density 2/(w+1) ≈ 0.22.
+#: Measured at sf0.1: k=8/w=4 grams (~1.5 words) are stop-grams on
+#: web-ish text (6.5k distinct grams for 547k postings, Σdf² = 197M →
+#: 12 s join); k=16/w=8 is discriminative (150k distinct, Σdf² = 2.2M →
+#: 2 s) with the SAME output pairs at threshold 0.5.
+WINNOW_K, WINNOW_W = 16, 8
 
 
 def q_winnow_fingerprints(spark, sf_dir):

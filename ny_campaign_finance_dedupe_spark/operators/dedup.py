@@ -209,8 +209,8 @@ def winnow_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 8,
-    w: int = 4,
+    k: int = 16,
+    w: int = 8,
     threshold: float = 0.5,
     df_cap: int | None = None,
     family: str = "fast",

@@ -70,7 +70,7 @@ def test_winnow_coverage_guarantee(spark):
     at least one SHARED fingerprint — per family."""
     rng = random.Random(13)
     shared = "thecommonsubstringblock"  # len 23 >= 11
-    for family in ("fast", "portable"):
+    for family in ("fast", "portable", "expr"):
         for trial in range(5):
             a = "".join(rng.choice("xyzuvw") for _ in range(60)) + shared
             b = shared + "".join(rng.choice("qrstmn") for _ in range(60))
