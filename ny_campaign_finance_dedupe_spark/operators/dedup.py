@@ -155,11 +155,19 @@ def ngram_jaccard_pairs(
     Output: (src, dst, jaccard), src < dst. The join key is the shingle,
     so cost is sum over shingles of df(shingle)^2 — bounded by ``df_cap``
     (drop shingles appearing in more than df_cap docs; stop-word rule).
+
+    ``id_col`` must be unique per input row (a record id): per-doc gram
+    dedup then happens MAP-SIDE (array_distinct before the explode), so
+    the postings table is distinct by construction — the naive
+    explode-then-DISTINCT shape shuffles the entire postings table once
+    (hundreds of billions of rows at corpus scale) before any real work.
     """
     grams = df.select(
         F.col(id_col).alias("record_id"),
-        F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("gram"),
-    ).distinct()
+        F.explode(F.array_distinct(keygen.word_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
     return _postings_jaccard_pairs(grams, threshold, df_cap)
 
 
@@ -170,7 +178,11 @@ def _postings_jaccard_pairs(
     distinct (record_id, gram) postings -> (src, dst, jaccard >=
     threshold) via the df-capped gram equi-join. Cost is sum over kept
     grams of df(gram)^2 — ``df_cap`` (the canopy stop-word rule +
-    ABS_DF_CAP ceiling) is the bound that keeps it linear-ish at scale."""
+    ABS_DF_CAP ceiling) is the bound that keeps it linear-ish at scale.
+
+    Callers guarantee (record_id, gram) is distinct — both producers
+    dedup grams map-side within each record (array_distinct / np.unique)
+    and record ids are unique, so no shuffle-the-world DISTINCT here."""
     # reused by df-profile (cap), per-doc counts, and BOTH join sides:
     # without a persist the postings subtree evaluates 3-4x.
     postings = postings.persist()
@@ -225,7 +237,12 @@ def winnow_jaccard_pairs(
     same k — the paper's point — while any shared substring of length
     >= w + k - 1 still lands both docs in one bucket. Output
     (src, dst, jaccard), src < dst, jaccard over the fingerprint SETS
-    (a near-dup ranking signal, not text Jaccard)."""
+    (a near-dup ranking signal, not text Jaccard).
+
+    ``id_col`` must be unique per input row. Every winnow family emits a
+    per-row-distinct fingerprint array (np.unique / array_distinct), so
+    postings are distinct by construction — no post-explode DISTINCT
+    shuffle (see ngram_jaccard_pairs)."""
     from ..functions.textstats import winnow_fingerprints
 
     postings = df.select(
@@ -233,7 +250,7 @@ def winnow_jaccard_pairs(
         F.explode(
             winnow_fingerprints(F.col(text_col), k=k, w=w, family=family)
         ).alias("gram"),
-    ).distinct()
+    )
     return _postings_jaccard_pairs(postings, threshold, df_cap)
 
 
