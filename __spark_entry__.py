@@ -515,6 +515,23 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF inverted-file ANN (ann.ivf_topk): data-seeded coarse
+    quantizer (16 lowest-id vectors), nearest-list assignment by
+    9-decimal-quantized cosine, 4-probe search, exact cosine re-rank.
+    The oracle rebuilds the identical quantizer with ORDER BY/LIMIT and
+    mirrors every stage; kmeans refinement (train_iters>0) is the
+    non-SQL quality knob, pinned by tests/test_ann.py instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 32)
+    return (
+        ann.ivf_topk(q, emb, "vec_id", "embedding", k=3, nlist=16,
+                     nprobe=4, round_decimals=9)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_greedy_link(spark, sf_dir):
     """C6 (clustering.py:265-277): one-to-one greedy matching on the
     doc-linkage fixture (iterative — rows-only check)."""
@@ -817,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1795,6 +1813,45 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine DESC, neighbor_id) AS rank
               FROM sc) WHERE rank <= 3
             ORDER BY query_id, rank
+        """,
+        "ivf_ann_topk": """
+            WITH cent AS (
+              SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            -- nearest-list assignment: quantized cosine, list-id ties
+            assign AS (
+              SELECT vec_id AS neighbor_id, list_id FROM (
+                SELECT e.vec_id, c.list_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9)
+                           DESC, c.list_id) AS rn
+                FROM ev e CROSS JOIN cent c) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, list_id FROM (
+                SELECT e.vec_id, c.list_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9)
+                           DESC, c.list_id) AS rn
+                FROM ev e CROSS JOIN cent c WHERE e.vec_id < 32)
+              WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, a.neighbor_id
+              FROM probes p JOIN assign a USING (list_id)
+              WHERE p.query_id <> a.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT c.query_id, c.neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY ROUND(list_cosine_similarity(qa.v, qb.v), 9)
+                         DESC, c.neighbor_id) AS rank
+              FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
+                          JOIN ev qb ON qb.vec_id = c.neighbor_id)
+            WHERE rank <= 3 ORDER BY query_id, rank
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

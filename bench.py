@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_neardup",
     "ann_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "er_pipeline",
 ]
 
@@ -86,6 +87,13 @@ def _fast_lsh_ann(spark, sf_dir):
     return ann.lsh_topk(q, emb, dim=64, k=3, bands=8, bits=8)
 
 
+def _fast_ivf_ann(spark, sf_dir):
+    # deployed IVF geometry: 64 lists, 8-probe, unquantized re-rank
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 32)
+    return ann.ivf_topk(q, emb, k=3, nlist=64, nprobe=8)
+
+
 def _fast_er(spark, sf_dir):
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
@@ -113,6 +121,7 @@ BENCH_VARIANT = {
     "minhash_dedup": _fast_minhash,
     "simhash_dedup": _fast_simhash,
     "lsh_ann_topk": _fast_lsh_ann,
+    "ivf_ann_topk": _fast_ivf_ann,
     "er_pipeline": _fast_er,
 }
 

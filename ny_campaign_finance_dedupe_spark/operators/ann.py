@@ -451,6 +451,229 @@ def lsh_topk(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 64,
+):
+    """Deterministic coarse-quantizer seeds for IVF: the ``nlist``
+    lowest-id corpus vectors, collected through the broadcast contract
+    (``_matrix``) as (list_ids, row-normalized matrix). Data-seeded —
+    no RNG — so the DuckDB oracle can rebuild the identical quantizer
+    with ``ORDER BY id LIMIT nlist``; ``train_ivf_centroids`` runs
+    distributed Lloyd rounds on top when list balance matters more than
+    oracle-expressibility (the classic kmeans IVF of Jegou et al.,
+    IVFADC — here only the coarse stage; vectors stay exact)."""
+    cent = corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+    return _matrix(cent, id_col, vec_col)
+
+
+def _ivf_assign(
+    df: DataFrame,
+    bc,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    top_n: int,
+    round_decimals: int | None,
+    list_id_type,
+) -> DataFrame:
+    """(id, list_id) of each vector's ``top_n`` nearest coarse centroids
+    by quantized cosine (ties -> smaller list id — the same total order
+    the SQL oracle's ROW_NUMBER uses). One GEMM against the broadcast
+    (nlist x dim) centroid matrix per Arrow batch; no shuffle, no
+    per-row Python. ``top_n=1`` is the index-build assignment, ``top_n =
+    nprobe`` the query-side probe list."""
+    schema = T.StructType(
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField("list_id", list_id_type),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _norm_rows(
+                np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            )
+            sims = m @ c_mat.T  # (n_batch, nlist) cosines
+            if round_decimals is not None:
+                sims = _round_half_away(sims, round_decimals)
+            ids = pdf[id_col].to_numpy()
+            nn = min(top_n, sims.shape[1])
+            rows_id, rows_list = [], []
+            for i in range(sims.shape[0]):
+                order = np.lexsort((c_ids, -sims[i]))[:nn]
+                rows_id.append(np.repeat(ids[i], nn))
+                rows_list.append(c_ids[order])
+            yield pd.DataFrame(
+                {
+                    out_id: np.concatenate(rows_id),
+                    "list_id": np.concatenate(rows_list),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    c_mat: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> np.ndarray:
+    """Distributed spherical-kmeans refinement of the IVF coarse
+    quantizer: per round, one GEMM-assignment pass over the corpus that
+    emits per-list per-dimension PARTIAL SUMS of the normalized vectors
+    (nlist x dim rows per Arrow batch — never the vectors themselves),
+    one groupBy to combine, and a driver collect of the (nlist x dim)
+    result; new centroid = renormalized mean direction, empty lists keep
+    their seed. The corpus never shuffles and the driver only ever holds
+    nlist x dim doubles. Returns the refined matrix (list ids keep their
+    seed identity). Not SQL-expressible — the oracle-gated path uses the
+    raw seeds (iters=0); refinement is pinned by pytest on planted
+    blobs."""
+    spark = corpus.sparkSession
+    sum_schema = T.StructType(
+        [
+            T.StructField("li", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(c_mat)
+        _register_broadcast(bc)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cm = bc.value
+            acc = np.zeros_like(cm)  # (nlist, dim) per-task accumulator
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                m = _norm_rows(
+                    np.vstack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+                )
+                best = np.argmax(m @ cm.T, axis=1)
+                np.add.at(acc, best, m)
+            if seen:
+                li, pos = np.nonzero(acc)
+                yield pd.DataFrame(
+                    {"li": li.astype(np.int32), "pos": pos.astype(np.int32),
+                     "s": acc[li, pos]}
+                )
+
+        sums = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, schema=sum_schema)
+            .groupBy("li", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        new = np.zeros_like(c_mat)
+        for r in sums:
+            new[r["li"], r["pos"]] = r["s"]
+        norms = np.linalg.norm(new, axis=1)
+        keep = norms > 0
+        new[keep] = new[keep] / norms[keep, None]
+        new[~keep] = c_mat[~keep]  # empty list: keep previous centroid
+        c_mat = new
+    return c_mat
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    train_iters: int = 0,
+    round_decimals: int | None = None,
+    corpus_assignment: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k by cosine: (query_id, neighbor_id, rank,
+    cosine) — the inverted-file scale path beside ``lsh_topk``.
+
+    Index build: every corpus vector is assigned to its nearest of
+    ``nlist`` coarse centroids (one broadcast GEMM pass, no shuffle);
+    that (id, list_id) table IS the inverted file. At 100 TB it is built
+    once and checkpointed — pass it back via ``corpus_assignment`` so
+    repeated searches skip the build (classic IVF build/probe split).
+    Search: each query probes its ``nprobe`` nearest lists; candidates
+    come from ONE equi-join on list_id (each corpus vector lives in
+    exactly one list, so candidates are duplicate-free by construction);
+    exact Arrow-batched cosine re-ranks them. Expected candidate volume
+    is N * nprobe / nlist per query vs N for brute force.
+
+    Centroids: ``nlist`` lowest-id corpus vectors (seed_centroids —
+    deterministic, SQL-expressible: the oracle-gated geometry), then
+    ``train_iters`` rounds of distributed spherical kmeans when list
+    balance matters (train_ivf_centroids; seeds can sit in one region
+    and skew lists — the AQE skew-join split also backstops a hot list).
+    ``round_decimals`` pins assignment, probe, and re-rank order
+    cross-engine exactly as in brute_force_topk."""
+    spark = corpus.sparkSession
+    c_ids, c_mat = seed_centroids(corpus, id_col, vec_col, nlist)
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if len(c_ids) == 0:
+        return spark.createDataFrame([], out_schema)
+    if train_iters > 0:
+        c_mat = train_ivf_centroids(
+            corpus, c_mat, id_col, vec_col, iters=train_iters
+        )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    _register_broadcast(bc)
+    if corpus_assignment is None:
+        corpus_assignment = _ivf_assign(
+            corpus, bc, id_col, vec_col, "neighbor_id", 1, round_decimals, id_type
+        )
+    probes = _ivf_assign(
+        queries, bc, id_col, vec_col, "query_id", nprobe, round_decimals, id_type
+    )
+    cand_ids = (
+        probes.join(corpus_assignment, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("queryv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighborv"))
+    cand = (
+        cand_ids.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _maybe_round(
+                cosine_batch_udf()(F.col("queryv"), F.col("neighborv")),
+                round_decimals,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_neardup_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",
