@@ -532,6 +532,26 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup (ann.semantic_dedup; Abbas et al. 2023):
+    data-seeded 16-list coarse quantizer, within-list exact cosine >=
+    0.35 duplicate edges, transitive closure, keep the member farthest
+    from its list centroid (the paper's diversity rule; ties -> smaller
+    id). The oracle mirrors assignment (ivf_topk's CTE, now also
+    carrying the centroid cosine), the within-list pair filter, the
+    recursive-CTE closure, and the ROW_NUMBER keeper pick; kmeans
+    refinement (train_iters>0) is the non-SQL quality knob, pinned by
+    tests/test_ann.py on planted blobs instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ann.semantic_dedup(
+            emb, "vec_id", "embedding", eps=0.35, nlist=16,
+            round_decimals=9, keep="centroid_far",
+        )
+        .orderBy("record_id")
+    )
+
+
 def q_greedy_link(spark, sf_dir):
     """C6 (clustering.py:265-277): one-to-one greedy matching on the
     doc-linkage fixture (iterative — rows-only check)."""
@@ -835,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "semantic_dedup": q_semantic_dedup,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1852,6 +1873,58 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE
+            cent AS (
+              SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+            -- nearest-list assignment + centroid cosine (quantized;
+            -- list-id ties): the ivf_topk assignment CTE carrying csim
+            assign AS (
+              SELECT vec_id, list_id, csim FROM (
+                SELECT e.vec_id, c.list_id,
+                       ROUND(list_cosine_similarity(e.v, c.cv), 9) AS csim,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9)
+                           DESC, c.list_id) AS rn
+                FROM ev e CROSS JOIN cent c) WHERE rn = 1
+            ),
+            -- within-list semantic-duplicate edges at eps = 0.35
+            e AS MATERIALIZED (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM assign a JOIN assign b
+                ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+              JOIN ev va ON va.vec_id = a.vec_id
+              JOIN ev vb ON vb.vec_id = b.vec_id
+              WHERE ROUND(list_cosine_similarity(va.v, vb.v), 9) >= 0.35
+            ),
+            und AS (SELECT src AS x, dst AS y FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(node, other) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.node, u.y FROM reach r JOIN und u ON u.x = r.other
+            ),
+            grp AS (SELECT node AS record_id, MIN(other) AS gid
+                    FROM reach GROUP BY node),
+            -- keeper: the group member FARTHEST from its list centroid
+            -- (lowest csim; ties -> smaller id) — SemDeDup's rule
+            keeper AS (
+              SELECT gid, record_id AS keeper_id FROM (
+                SELECT g.gid, g.record_id,
+                       ROW_NUMBER() OVER (PARTITION BY g.gid
+                         ORDER BY a.csim ASC, g.record_id ASC) AS rn
+                FROM grp g JOIN assign a ON a.vec_id = g.record_id)
+              WHERE rn = 1
+            )
+            SELECT g.record_id, k.keeper_id,
+                   g.record_id <> k.keeper_id AS is_dup
+            FROM grp g JOIN keeper k ON k.gid = g.gid
+            ORDER BY g.record_id
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (

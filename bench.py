@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "semantic_dedup",
     "er_pipeline",
 ]
 
@@ -94,6 +95,12 @@ def _fast_ivf_ann(spark, sf_dir):
     return ann.ivf_topk(q, emb, k=3, nlist=64, nprobe=8)
 
 
+def _fast_semantic(spark, sf_dir):
+    # deployed SemDeDup geometry: 64 lists, unquantized cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.semantic_dedup(emb, eps=0.35, nlist=64)
+
+
 def _fast_er(spark, sf_dir):
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
         DedupePipeline,
@@ -122,6 +129,7 @@ BENCH_VARIANT = {
     "simhash_dedup": _fast_simhash,
     "lsh_ann_topk": _fast_lsh_ann,
     "ivf_ann_topk": _fast_ivf_ann,
+    "semantic_dedup": _fast_semantic,
     "er_pipeline": _fast_er,
 }
 

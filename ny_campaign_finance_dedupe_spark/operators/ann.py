@@ -478,19 +478,23 @@ def _ivf_assign(
     top_n: int,
     round_decimals: int | None,
     list_id_type,
+    emit_sim: bool = False,
 ) -> DataFrame:
     """(id, list_id) of each vector's ``top_n`` nearest coarse centroids
     by quantized cosine (ties -> smaller list id — the same total order
     the SQL oracle's ROW_NUMBER uses). One GEMM against the broadcast
     (nlist x dim) centroid matrix per Arrow batch; no shuffle, no
     per-row Python. ``top_n=1`` is the index-build assignment, ``top_n =
-    nprobe`` the query-side probe list."""
-    schema = T.StructType(
-        [
-            T.StructField(out_id, df.schema[id_col].dataType),
-            T.StructField("list_id", list_id_type),
-        ]
-    )
+    nprobe`` the query-side probe list. ``emit_sim`` adds the (quantized)
+    centroid cosine as a ``csim`` column — semantic_dedup's
+    keep-farthest-from-centroid rule needs it."""
+    fields = [
+        T.StructField(out_id, df.schema[id_col].dataType),
+        T.StructField("list_id", list_id_type),
+    ]
+    if emit_sim:
+        fields.append(T.StructField("csim", T.DoubleType()))
+    schema = T.StructType(fields)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat = bc.value
@@ -505,17 +509,20 @@ def _ivf_assign(
                 sims = _round_half_away(sims, round_decimals)
             ids = pdf[id_col].to_numpy()
             nn = min(top_n, sims.shape[1])
-            rows_id, rows_list = [], []
+            rows_id, rows_list, rows_sim = [], [], []
             for i in range(sims.shape[0]):
                 order = np.lexsort((c_ids, -sims[i]))[:nn]
                 rows_id.append(np.repeat(ids[i], nn))
                 rows_list.append(c_ids[order])
-            yield pd.DataFrame(
-                {
-                    out_id: np.concatenate(rows_id),
-                    "list_id": np.concatenate(rows_list),
-                }
-            )
+                if emit_sim:
+                    rows_sim.append(sims[i][order])
+            out = {
+                out_id: np.concatenate(rows_id),
+                "list_id": np.concatenate(rows_list),
+            }
+            if emit_sim:
+                out["csim"] = np.concatenate(rows_sim)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
@@ -833,3 +840,159 @@ def cosine_neardup_pairs(
                 )
 
     return df.select(id_col, vec_col).mapInPandas(gemm, schema=out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.9,
+    nlist: int = 64,
+    train_iters: int = 0,
+    round_decimals: int | None = None,
+    max_list_size: int | None = None,
+    keep: str = "centroid_far",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over an embedding
+    column: coarse lists bound the pair space, exact cosine within each
+    list marks semantic duplicates at ``eps``, transitive closure groups
+    them, and one representative per group is kept.
+
+    Returns (record_id, keeper_id, is_dup) for EVERY corpus row:
+    keeper_id identifies the kept representative of the row's
+    semantic-duplicate group (singletons keep themselves, is_dup =
+    false); rows with is_dup = true are what a training pipeline drops.
+    ``keep='centroid_far'`` is the paper's rule — keep the member with
+    the LOWEST cosine to its list centroid (the most "atypical" example,
+    preserving diversity; SemDeDup §3), ties -> smaller id.
+    ``keep='min_id'`` keeps the smallest id (the engine-reproducible C8
+    labeling used everywhere else).
+
+    Scale shape: the only quadratic term is the within-list pair space
+    Sigma |list|^2, bounded by nlist (at 10^12 rows pick ~N/10k lists —
+    the paper clusters to ~constant list size) plus ``train_iters``
+    k-means rounds to balance lists (data-seeded lists can skew);
+    ``max_list_size`` is the canopy-style hard cap (blocking.cap_blocks)
+    for adversarial near-singular corpora. Assignment is one broadcast
+    GEMM pass (no shuffle); the pair join shuffles (id, list_id) only;
+    vectors re-join once for the exact cosine (the J2 hydration shape);
+    components are list-confined (each record lives in exactly one
+    list), so CC converges in few rounds.
+
+    Oracle path: with train_iters=0 (data-seeded quantizer, ivf_topk's
+    ORDER BY id LIMIT nlist) and ``round_decimals`` set, every stage is
+    SQL-expressible: assignment CTE + within-list pairwise cosine +
+    recursive-CTE closure + ROW_NUMBER keeper. k-means refinement is the
+    non-SQL quality knob, pinned by pytest on planted blobs.
+    """
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
+    if not isinstance(
+        corpus.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        # connected_components works in the long domain; a lossy cast of
+        # string ids would silently merge groups — fail fast instead
+        # (hash string ids to longs first, as cluster_edges does).
+        raise ValueError(
+            f"semantic_dedup: {id_col} must be an integer column "
+            f"(got {corpus.schema[id_col].dataType.simpleString()})"
+        )
+    from .clustering import connected_components  # local: no import cycle
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("record_id", id_type),
+            T.StructField("keeper_id", id_type),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+    c_ids, c_mat = seed_centroids(corpus, id_col, vec_col, nlist)
+    if len(c_ids) == 0:
+        return spark.createDataFrame([], out_schema)
+    if train_iters > 0:
+        c_mat = train_ivf_centroids(
+            corpus, c_mat, id_col, vec_col, iters=train_iters
+        )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    _register_broadcast(bc)
+    assign = _ivf_assign(
+        corpus, bc, id_col, vec_col, "record_id", 1, round_decimals,
+        id_type, emit_sim=True,
+    )
+    if max_list_size is not None:
+        from .blocking import cap_blocks
+
+        capped = cap_blocks(
+            assign.select(
+                F.col("list_id").cast("string").alias("block_key"),
+                "record_id",
+            ),
+            max_list_size,
+        )
+        assign = assign.join(
+            capped.select("record_id"), "record_id", "left_semi"
+        )
+    # csim is only consumed AFTER grouping (keeper pick); the pair join
+    # and CC below reuse assign twice, so materialize the GEMM pass once
+    assign = assign.localCheckpoint()
+    l, r = assign.alias("l"), assign.alias("r")
+    # each record sits in exactly ONE list -> the equi-join emits every
+    # within-list pair exactly once; no dropDuplicates shuffle needed
+    # (contrast pairs.candidate_pairs, whose multi-key maps do)
+    cand = (
+        l.join(r, "list_id")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("src"),
+            F.col("r.record_id").alias("dst"),
+        )
+    )
+    va = corpus.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    edges = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src",
+            "dst",
+            _maybe_round(
+                cosine_batch_udf()(F.col("va"), F.col("vb")), round_decimals
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= eps)
+        .select("src", "dst")
+    )
+    # groups: CC over duplicate edges (long-id domain) + singletons as
+    # their own group. gid = group-min id (C8).
+    comp = connected_components(edges).select(
+        F.col("record_id").cast(id_type).alias("record_id"),
+        F.col("cluster_id").cast(id_type).alias("gid"),
+    )
+    singles = (
+        corpus.select(F.col(id_col).alias("record_id"))
+        .join(comp.select("record_id"), "record_id", "left_anti")
+        .select("record_id", F.col("record_id").alias("gid"))
+    )
+    grp = comp.unionByName(singles)
+    if keep == "min_id":
+        out = grp.select("record_id", F.col("gid").alias("keeper_id"))
+    else:
+        # left join + nulls-last: a record the cap dropped from ``assign``
+        # has no csim but is always its own singleton group — it must
+        # still keep itself, not vanish from the output
+        w = Window.partitionBy("gid").orderBy(
+            F.asc_nulls_last("csim"), F.asc("record_id")
+        )
+        keeper = (
+            grp.join(assign.select("record_id", "csim"), "record_id", "left")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("gid", F.col("record_id").alias("keeper_id"))
+        )
+        out = grp.join(keeper, "gid").select("record_id", "keeper_id")
+    return out.withColumn(
+        "is_dup", F.col("record_id") != F.col("keeper_id")
+    )

@@ -344,6 +344,88 @@ def test_ivf_prebuilt_assignment_reused(blob_vecs):
     assert a == b and len(a) == 24
 
 
+def test_semantic_dedup_groups_planted_blobs(blob_vecs):
+    """At eps below the intra-blob cosine every blob collapses into ONE
+    semantic group of 10 (5 members + 5 twins): 4 keepers, 36 dups, and
+    with keep='min_id' each keeper is the group's smallest id (the blob
+    seeds 0-3)."""
+    out = ann.semantic_dedup(
+        blob_vecs, eps=0.95, nlist=4, round_decimals=9, keep="min_id"
+    ).collect()
+    assert len(out) == 40
+    keepers = {r["keeper_id"] for r in out}
+    assert keepers == {0, 1, 2, 3}
+    assert sum(r["is_dup"] for r in out) == 36
+    for r in out:
+        assert r["is_dup"] == (r["record_id"] != r["keeper_id"])
+
+
+def test_semantic_dedup_centroid_far_keeper(blob_vecs):
+    """keep='centroid_far' (the SemDeDup paper rule) must pick, per
+    group, the member with the LOWEST cosine to its list centroid —
+    recomputed here independently with numpy over the seed quantizer."""
+    import numpy as np
+
+    rows = sorted(blob_vecs.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.vstack([np.asarray(r["embedding"], np.float64) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cm = m[ids.argsort()[: 4]]  # seeds = 4 lowest ids (already sorted)
+    sims = np.round(m @ cm.T, 9)
+    best_list = np.argmax(sims, axis=1)  # unique argmax in this fixture
+    csim = sims[np.arange(len(ids)), best_list]
+    out = ann.semantic_dedup(
+        blob_vecs, eps=0.95, nlist=4, round_decimals=9, keep="centroid_far"
+    ).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r["keeper_id"], set()).add(r["record_id"])
+    assert len(groups) == 4 and all(len(v) == 10 for v in groups.values())
+    pos = {int(i): k for k, i in enumerate(ids)}
+    for keeper, members in groups.items():
+        expected = min(members, key=lambda i: (csim[pos[i]], i))
+        assert keeper == expected
+
+
+def test_semantic_dedup_train_iters_keeps_groups(blob_vecs):
+    """kmeans refinement (the non-SQL knob) must not change grouping
+    when the seeds already sit one per blob — pins that the refined
+    quantizer output flows through the same closure/keeper stages."""
+    base = {
+        (r["record_id"], r["keeper_id"])
+        for r in ann.semantic_dedup(
+            blob_vecs, eps=0.95, nlist=4, round_decimals=9, keep="min_id"
+        ).collect()
+    }
+    refined = {
+        (r["record_id"], r["keeper_id"])
+        for r in ann.semantic_dedup(
+            blob_vecs, eps=0.95, nlist=4, round_decimals=9,
+            keep="min_id", train_iters=3,
+        ).collect()
+    }
+    assert base == refined
+
+
+def test_semantic_dedup_cap_and_guards(spark, blob_vecs):
+    """max_list_size drops oversize lists (canopy rule) -> all
+    singletons here (every list has 10 members > cap 5); string ids and
+    unknown keep rules fail fast."""
+    out = ann.semantic_dedup(
+        blob_vecs, eps=0.95, nlist=4, round_decimals=9, max_list_size=5
+    ).collect()
+    assert len(out) == 40
+    assert all(not r["is_dup"] and r["record_id"] == r["keeper_id"]
+               for r in out)
+    sdf = blob_vecs.selectExpr(
+        "CAST(vec_id AS STRING) AS vec_id", "embedding"
+    )
+    with pytest.raises(ValueError, match="integer column"):
+        ann.semantic_dedup(sdf)
+    with pytest.raises(ValueError, match="keep rule"):
+        ann.semantic_dedup(blob_vecs, keep="random")
+
+
 def test_train_ivf_centroids_rebalances_bad_seeds(spark):
     """Adversarial seeding: the 4 lowest-id vectors all sit in ONE blob,
     so the seed quantizer funnels most of the corpus into few lists;
