@@ -532,6 +532,41 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (normalize.canonical_url): the Common-Crawl
+    URL prefilter — scheme/host-case fold, www + default-port strip,
+    trailing-slash and fragment drop, tracking-param removal, query-param
+    sort — then exact grouping on the canonical form. URLs are
+    synthesized deterministically from doc_id with planted variants
+    (case noise, :443, trailing slash, utm/fbclid params, param order,
+    fragments); the oracle rebuilds the same URLs and mirrors every
+    canonicalization rule token-for-token. Pure Catalyst (regexp + array
+    ops, no UDF) — runs inside the scan projection at 10^12 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("https://")),
+        F.lit("Site"), (d % 10).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), F.floor(d / 20).cast("string"),
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2&fbclid=XYZ"))
+        .when(d % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        docs.select(
+            url.alias("url"),
+            normalize.canonical_url(url).alias("canonical_url"),
+        )
+        .withColumn("cluster_id", F.min("url").over(w))
+        .orderBy("url")
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic dedup (ann.semantic_dedup; Abbas et al. 2023):
     data-seeded 16-list coarse quantizer, within-list exact cosine >=
@@ -856,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
+        "url_dedup": q_url_dedup,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1873,6 +1909,69 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "url_dedup": r"""
+            WITH pages AS (
+              SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+                           ELSE 'https://' END)
+                || 'Site' || CAST(doc_id % 10 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                || '/Docs/' || CAST(doc_id // 20 AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                         WHEN doc_id % 4 = 1 THEN '?a=1&b=2&fbclid=XYZ'
+                         WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)
+                AS url
+              FROM documents
+            ),
+            -- normalize.canonical_url, rule for rule
+            p1 AS (
+              SELECT url,
+                regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch0,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM pages
+            ),
+            p2 AS (
+              SELECT url, isurl,
+                CASE WHEN sch0 = 'http' THEN 'https' ELSE sch0 END AS sch,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                  '^www\.', ''), ':(80|443)$', '') AS host,
+                regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                               '#.*$', '') AS nofrag
+              FROM p1
+            ),
+            p3 AS (
+              SELECT url, isurl, sch, host,
+                regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1),
+                               '/+$', '') AS path,
+                regexp_extract(nofrag, '\?(.*)$', 1) AS query
+              FROM p2
+            ),
+            p4 AS (
+              SELECT url, isurl, sch, host, path,
+                coalesce(list_aggregate(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$'))),
+                  'string_agg', '&'), '') AS qs
+              FROM p3
+            ),
+            c AS (
+              SELECT url,
+                CASE WHEN isurl THEN sch || '://' || host || path
+                       || (CASE WHEN qs = '' THEN ''
+                                ELSE '?' || qs END)
+                     ELSE lower(trim(url)) END AS canonical_url
+              FROM p4
+            )
+            SELECT url, canonical_url,
+                   MIN(url) OVER (PARTITION BY canonical_url) AS cluster_id
+            FROM c ORDER BY url
         """,
         "semantic_dedup": """
             WITH RECURSIVE

@@ -32,6 +32,7 @@ from ny_campaign_finance_dedupe_spark.synth import synth_pages
 # self-join, minhash/simhash LSH, n-gram Jaccard, connected components,
 # scoring+pipeline, reporting aggs, window top-k, ANN.
 HEADLINE = [
+    "url_dedup",
     "exact_dedup_clusters",
     "fingerprint_clusters",
     "blocking_first_token_pairs",

@@ -255,3 +255,54 @@ def extract_text_udf():
     recomputed downstream.
     """
     return F.pandas_udf(_extract_batch, "string")
+
+
+# URL canonicalization (web-pipeline dedup prefilter): params whose whole
+# name matches are dropped before the query string is sorted. Shared by
+# the Catalyst expression below and the DuckDB oracle mirror.
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a web URL, as one pure Catalyst expression —
+    the standard Common-Crawl-style URL dedup prefilter (exact dedup on
+    canonical_url collapses scheme/host-case, www, default-port,
+    trailing-slash, fragment, tracking-param, and query-order variants
+    before any content hashing runs).
+
+    Rules (each mirrored token-for-token in the url_dedup oracle SQL):
+    scheme lowercased, http folded to https; host lowercased, leading
+    ``www.`` and default ``:80``/``:443`` ports stripped; path keeps its
+    case (case-sensitive per RFC 3986) but loses trailing slashes (root
+    becomes empty); the fragment is dropped; query params drop tracking
+    names (TRACKING_PARAM_RE), then sort lexicographically and rejoin.
+    Non-URL strings (no ``scheme://``) pass through lower+trim.
+
+    Whole-stage-codegen friendly: regexp + array ops only, no UDF — at
+    10^12 rows this runs inside the scan projection.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.when(scheme == "http", F.lit("https")).otherwise(scheme)
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    nofrag = F.regexp_replace(tail, r"#.*$", "")
+    path = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(u.rlike(_SCHEME_RE), canon).otherwise(F.lower(F.trim(u)))

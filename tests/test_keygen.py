@@ -118,3 +118,59 @@ def test_extract_text_roundtrip(spark):
         for r in df.select(normalize.extract_text_udf()(F.col("h")).alias("t")).collect()
     ]
     assert got == ["Hello world", None]
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule, one case each — scheme fold, host
+    case, www, default vs non-default port, trailing slash, fragment,
+    tracking params, param sort, non-URL passthrough."""
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Site1.Example.COM:443/Docs/3/?b=2&a=1#frag",
+         "https://site1.example.com/Docs/3?a=1&b=2"),
+        ("https://site1.example.com/Docs/3?a=1&b=2",
+         "https://site1.example.com/Docs/3?a=1&b=2"),
+        # tracking-only query -> no '?'
+        ("https://a.com/x?utm_source=feed&fbclid=Z&gclid=1&msclkid=2&ref=t",
+         "https://a.com/x"),
+        # bare utm param without '=' still dropped; unknown kept
+        ("https://a.com/x?utm_campaign&keep=1", "https://a.com/x?keep=1"),
+        # non-default port survives; path case survives
+        ("http://A.com:8080/KeepCase/", "https://a.com:8080/KeepCase"),
+        # root trailing slash -> empty path; :80 stripped
+        ("http://www.a.com:80/", "https://a.com"),
+        # fragment containing '?' must not leak into the query
+        ("https://a.com/p#frag?x=1", "https://a.com/p"),
+        # non-URL string: lower+trim passthrough
+        ("  Not A Url  ", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r["c"]
+        for r in df.select(
+            normalize.canonical_url(F.col("u")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_groups_variants(spark):
+    """The planted-variant shapes q_url_dedup relies on: case/www/port/
+    slash/tracking/param-order variants of one page collapse to a single
+    canonical key; a different path does not."""
+    variants = [
+        "HTTP://WWW.Site2.Example.COM/Docs/7?utm_source=feed&b=2&a=1",
+        "https://site2.example.com/Docs/7/?a=1&b=2&fbclid=XYZ",
+        "https://Site2.example.com:443/Docs/7?b=2&a=1#Section-2",
+    ]
+    other = "https://site2.example.com/Docs/8?a=1&b=2"
+    df = spark.createDataFrame(
+        [(u,) for u in variants + [other]], "u string"
+    )
+    keys = {
+        r["c"]
+        for r in df.select(
+            normalize.canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert len(keys) == 2
