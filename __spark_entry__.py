@@ -532,6 +532,20 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_segment_dedup(spark, sf_dir):
+    """CCNet paragraph dedup (dedup.segment_dedup; Wenzek et al. 2019):
+    drop every 10-word segment occurring in >1 document (the planted
+    dup families make these), rebuild surviving text in order. Runs the
+    broadcast strategy (corpus never shuffles; hot-set via hash postings
+    + semi-join probe); the join strategy is pinned output-identical by
+    test. Oracle mirrors segmentation (list slices), the df filter, and
+    the ORDER BY pos string_agg rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup(
+        docs, "doc_id", "text", seg_words=10, df_threshold=1
+    ).orderBy("record_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (normalize.canonical_url): the Common-Crawl
     URL prefilter — scheme/host-case fold, www + default-port strip,
@@ -892,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
+        "segment_dedup": q_segment_dedup,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1909,6 +1924,36 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "segment_dedup": r"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            -- dedup.segment_text: non-overlapping 10-word windows,
+            -- last partial (list slices clip at both engines)
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+                SELECT doc_id, UNNEST(list_transform(
+                  generate_series(1, CAST((len(words) + 9) // 10 AS BIGINT)),
+                  i -> struct_pack(pos := i,
+                    seg := array_to_string(
+                      words[(i-1)*10+1:(i-1)*10+10], ' ')))) AS u
+                FROM w)
+            ),
+            hot AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM g)
+                    GROUP BY seg HAVING COUNT(*) > 1),
+            kept AS (SELECT doc_id, pos, seg FROM g
+                     WHERE seg NOT IN (SELECT seg FROM hot)),
+            agg AS (SELECT doc_id,
+                           string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM g GROUP BY doc_id)
+            SELECT t.doc_id AS record_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   t.n_seg,
+                   t.n_seg - coalesce(a.n_kept, 0) AS n_dropped
+            FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+            ORDER BY record_id
         """,
         "url_dedup": r"""
             WITH pages AS (

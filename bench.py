@@ -33,6 +33,7 @@ from ny_campaign_finance_dedupe_spark.synth import synth_pages
 # scoring+pipeline, reporting aggs, window top-k, ANN.
 HEADLINE = [
     "url_dedup",
+    "segment_dedup",
     "exact_dedup_clusters",
     "fingerprint_clusters",
     "blocking_first_token_pairs",

@@ -533,3 +533,178 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming),
         sh,
     )
+
+
+def segment_text(col: Column, seg_words: int = 10) -> Column:
+    """Consecutive non-overlapping ``seg_words``-word windows of a
+    whitespace-tokenized text (last window partial) — the corpus'
+    "paragraphs" when the payload carries no natural line structure.
+    Pure Catalyst (split + sequence + slice), mirrored seg-for-seg by
+    the segment_dedup oracle's list-slice CTE."""
+    words = F.split(col, " ")
+    n = F.size(words)
+    nseg = F.floor((n + seg_words - 1) / seg_words).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * seg_words + 1, seg_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Above this many distinct boilerplate segments the broadcast strategy
+#: refuses (driver + executor memory holds the full hot-set strings);
+#: switch to strategy='join', which never collects it.
+SEGMENT_HOT_BROADCAST_MAX = 100_000
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+    df_threshold: int = 2,
+    strategy: str = "broadcast",
+    max_hot: int = SEGMENT_HOT_BROADCAST_MAX,
+) -> DataFrame:
+    """Cross-document segment (paragraph) deduplication — the CCNet
+    preprocessing step (Wenzek et al. 2019, arXiv:1911.00359 §3.1:
+    drop duplicated paragraphs corpus-wide before language/quality
+    filtering; boilerplate headers/nav/templates dominate web text).
+    Removes from every document the segments occurring in MORE than
+    ``df_threshold`` documents. Returns (record_id, clean_text, n_seg,
+    n_dropped); clean_text preserves surviving segments in order ('' if
+    everything was boilerplate).
+
+    Scale shape: document frequencies aggregate over (xxhash64(seg),
+    record_id) postings — ids+hashes only, never text, with map-side
+    array_distinct (a segment repeated inside one doc counts once).
+    - strategy='broadcast' (default): the hot segment strings (tiny by
+      construction — boilerplate is the head of the df distribution) are
+      collected once and shipped as a broadcast set; an Arrow-batched
+      kernel filters each document's segment array by set membership.
+      The corpus NEVER shuffles. Fails loudly above ``max_hot``
+      (a silent driver OOM is worse); per-batch cost is O(segs) set
+      probes — the interpreted higher-order array_contains alternative
+      is O(segs x hot) per row.
+    - strategy='join': fully distributed, no driver bound — posexplode,
+      broadcast ANTI-join against the hot-hash list (no shuffle of the
+      big side), then one groupBy(record_id) rebuild (sort_array of
+      (pos, seg) structs). The rebuild is the one intrinsic
+      corpus-sized shuffle. Identical output (pinned by test).
+    """
+    if strategy not in ("broadcast", "join"):
+        raise ValueError(f"segment_dedup: unknown strategy {strategy!r}")
+    base = df.select(
+        F.col(id_col).alias("record_id"),
+        segment_text(F.col(text_col), seg_words).alias("segs"),
+    )
+    postings = base.select(
+        "record_id",
+        F.explode(F.array_distinct("segs")).alias("seg"),
+    )
+    # df over 8-byte hashes, not ~seg_words-word strings: the one
+    # corpus-wide agg here shuffles ids+hashes only (the postings
+    # pattern). Hash-collision caveat matches the repo's xxhash64
+    # convention (cluster_edges): at 10^12 segments swap in a 128-bit
+    # split key.
+    hot_h = (
+        postings.select(F.xxhash64("seg").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("seg_df"))
+        .where(F.col("seg_df") > df_threshold)
+        .select("h")
+    )
+    if strategy == "broadcast":
+        # hot STRINGS come from a broadcast semi-join probe (only hot
+        # occurrences reach the distinct), never a string shuffle
+        rows = (
+            postings.join(
+                F.broadcast(hot_h),
+                F.xxhash64(postings["seg"]) == F.col("h"),
+                "left_semi",
+            )
+            .select("seg")
+            .distinct()
+            .limit(max_hot + 1)
+            .collect()
+        )
+        if len(rows) > max_hot:
+            raise ValueError(
+                f"segment_dedup: more than {max_hot} boilerplate segments"
+                f" at df_threshold={df_threshold}; raise max_hot or use"
+                f" strategy='join'"
+            )
+        hot_set = frozenset(r["seg"] for r in rows)
+        bc = df.sparkSession.sparkContext.broadcast(hot_set)
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"record_id {id_type}, clean_text string,"
+            f" n_seg int, n_dropped int"
+        )
+
+        def drop_hot(batches):
+            import pandas as pd
+
+            hs = bc.value
+            for pdf in batches:
+                segs = pdf["segs"]
+                kept = [[s for s in arr if s not in hs] for arr in segs]
+                yield pd.DataFrame(
+                    {
+                        "record_id": pdf["record_id"],
+                        "clean_text": [" ".join(k) for k in kept],
+                        "n_seg": [len(a) for a in segs],
+                        "n_dropped": [
+                            len(a) - len(k) for a, k in zip(segs, kept)
+                        ],
+                    }
+                )
+
+        return base.mapInPandas(drop_hot, schema=out_schema)
+    ex = base.select(
+        "record_id",
+        F.size("segs").alias("n_seg"),
+        F.posexplode_outer("segs").alias("pos", "seg"),
+    )
+    kept = ex.join(
+        F.broadcast(hot_h),
+        F.xxhash64(ex["seg"]) == F.col("h"),
+        "left_anti",
+    )
+    agg = kept.groupBy("record_id", "n_seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "seg"))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("seg").alias("_n_kept"),
+    )
+    # a doc whose every segment was boilerplate vanishes from the anti-
+    # join — restore it with clean_text '' (posexplode_outer keeps only
+    # docs with a null seg, i.e. empty input arrays)
+    all_docs = base.select("record_id", F.size("segs").alias("n_seg"))
+    return (
+        all_docs.join(
+            agg.select("record_id", "clean_text", "_n_kept"),
+            "record_id",
+            "left",
+        )
+        .select(
+            "record_id",
+            F.coalesce(
+                "clean_text", F.lit("")
+            ).alias("clean_text"),
+            "n_seg",
+            (F.col("n_seg") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )

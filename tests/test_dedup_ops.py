@@ -632,3 +632,65 @@ def test_brute_force_paths_agree_with_quantizer(spark):
     sa = {key(r): (r["neighbor_id"], r["cosine"]) for r in a}
     sb = {key(r): (r["neighbor_id"], r["cosine"]) for r in b}
     assert sa == sb
+
+
+def test_segment_dedup_removes_planted_boilerplate(spark):
+    """A 5-word header planted in 3 docs is corpus-boilerplate at
+    df_threshold=2; unique tails survive in order, an all-boilerplate
+    doc rebuilds to '' (not a vanished row)."""
+    hdr = "nav home about contact legal"
+    rows = [
+        (1, hdr + " alpha beta gamma delta epsilon unique one"),
+        (2, hdr + " zeta eta theta iota kappa unique two"),
+        (3, hdr),  # all boilerplate
+        (4, "completely original text with no shared window here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["record_id"]: r
+        for r in dedup.segment_dedup(
+            df, "doc_id", "text", seg_words=5, df_threshold=2
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon unique one"
+    assert out[2]["clean_text"] == "zeta eta theta iota kappa unique two"
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["n_dropped"] == 0
+    assert out[1]["n_seg"] == 3 and out[1]["n_dropped"] == 1
+
+
+def test_segment_dedup_strategies_identical(spark):
+    """broadcast (zero corpus shuffle, Arrow set-membership kernel) and
+    join (distributed anti-join + rebuild) must emit identical rows on a
+    corpus with planted families — the family-equivalence contract."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        tuple(r)
+        for r in dedup.segment_dedup(
+            docs, "doc_id", "text", seg_words=7, df_threshold=1
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.segment_dedup(
+            docs, "doc_id", "text", seg_words=7, df_threshold=1,
+            strategy="join",
+        ).collect()
+    }
+    assert a == b and len(a) == docs.count()
+    assert sum(r[3] for r in a) > 0  # the planted dups fire
+
+
+def test_segment_dedup_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.segment_dedup(df, "doc_id", "text", strategy="shuffle")
+    # every doc is one identical segment -> 1 hot segment > max_hot=0
+    with pytest.raises(ValueError, match="boilerplate segments"):
+        dedup.segment_dedup(
+            df, "doc_id", "text", seg_words=5, df_threshold=1, max_hot=0
+        )
