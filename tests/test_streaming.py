@@ -71,3 +71,62 @@ def test_streaming_query_end_to_end(spark, corpus, tmp_path):
     matches = {r["query_url"]: r["match_url"] for r in got}
     for i, r in enumerate(two):
         assert matches[f"https://newsite.example.com/s/{i}"] == r["url"]
+
+
+def test_ingest_dedup_suppresses_recrawls_across_restart(spark, tmp_path):
+    """Watermarked stateful exact dedup at ingestion: a within-batch
+    duplicate and a second-tick re-crawl (same normalized content, new
+    url-tick) are both suppressed; dedup state SURVIVES a query restart
+    via the checkpoint (the crawl's ingestion ticks are availableNow
+    runs against a growing source dir)."""
+    import datetime
+
+    from ny_campaign_finance_dedupe_spark.streaming import ingest
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0)
+    src = str(tmp_path / "ingest_src")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    b1 = spark.createDataFrame(
+        [
+            ("https://a.com/1", t0, None, "page one body text", "en"),
+            # same content, different url: a mirror — dup within batch
+            ("https://b.com/1", t0, None, "page one body text", "en"),
+            ("https://a.com/2", t0, None, "page two body text", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b1.write.parquet(src)
+    q = ingest.start_ingest_dedup(spark, src, out, ckpt, PAGES_SCHEMA)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 2
+    assert {r["exact_key"] for r in got1} == {
+        r["exact_key"]
+        for r in ingest.with_content_key(b1).select("exact_key").collect()
+    }
+    # tick 2: a re-crawl of page one 10 minutes later (inside the 1 h
+    # watermark) + one genuinely new page, appended to the source dir
+    t1 = t0 + datetime.timedelta(minutes=10)
+    b2 = spark.createDataFrame(
+        [
+            ("https://a.com/1?recrawl", t1, None, "page one body text", "en"),
+            ("https://a.com/3", t1, None, "page three body text", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = ingest.start_ingest_dedup(spark, src, out, ckpt, PAGES_SCHEMA)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out).collect()
+    urls = {r["url"] for r in got2}
+    assert len(got2) == 3  # re-crawl suppressed by RESTORED state
+    assert "https://a.com/3" in urls
+    assert "https://a.com/1?recrawl" not in urls
+    # normalization-identity: case/punct variants are the SAME page
+    k = ingest.content_key
+    df = spark.createDataFrame(
+        [("Page One, Body: TEXT!",), ("page one body text",)], "t string"
+    )
+    keys = {r["k"] for r in df.select(k(F.col("t")).alias("k")).collect()}
+    assert len(keys) == 1
