@@ -38,6 +38,7 @@ from ny_campaign_finance_dedupe_spark.operators import (  # noqa: E402
     linkage,
     pairs as pairs_ops,
     refine,
+    sampling,
 )
 from ny_campaign_finance_dedupe_spark.plans import training  # noqa: E402
 from ny_campaign_finance_dedupe_spark.plans import reports  # noqa: E402
@@ -532,6 +533,24 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing (operators/sampling.py): per-language
+    keep rates compiled to one native CASE over the portable-hash60
+    uniform (membership is a pure function of (salt, id) — stable under
+    repartition, retries, and cluster size), then a deterministic
+    train/test split column. Oracle recomputes the identical md5-derived
+    uniforms (portable.sql_hash60), rates, and split."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    samp = sampling.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.1, "es": 0.5, "zh": 1.0},
+        default_rate=0.25, salt="mix1",
+    )
+    return sampling.train_test_split(
+        samp, "doc_id", test_frac=0.2, salt="split"
+    ).orderBy("doc_id")
+
+
 def q_segment_dedup(spark, sf_dir):
     """CCNet paragraph dedup (dedup.segment_dedup; Wenzek et al. 2019):
     drop every 10-word segment occurring in >1 document (the planted
@@ -907,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
         "segment_dedup": q_segment_dedup,
+        "stratified_sample": q_stratified_sample,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1924,6 +1944,28 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "stratified_sample": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                {portable.sql_hash60(
+                    "concat('mix1', CAST(doc_id AS VARCHAR))")}
+                  / 1152921504606846976.0 AS u
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, lang FROM s
+              WHERE u < CASE WHEN lang = 'en' THEN 0.1
+                             WHEN lang = 'es' THEN 0.5
+                             WHEN lang = 'zh' THEN 1.0
+                             ELSE 0.25 END
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN {portable.sql_hash60(
+                       "concat('split', CAST(doc_id AS VARCHAR))")}
+                          / 1152921504606846976.0 < 0.2
+                        THEN 'test' ELSE 'train' END AS split
+            FROM k ORDER BY doc_id
         """,
         "segment_dedup": r"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
