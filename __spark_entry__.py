@@ -533,6 +533,19 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition quality filters (textstats.repetition_stats;
+    Rae et al. 2021 §A1.1) at token granularity: repeated-token share,
+    top/duplicate 2- and 3-gram fractions per document — one Arrow
+    kernel, zero shuffle; the oracle recomputes every Counter with
+    explode + per-doc grouping (fractions are single int-ratio divides,
+    bit-identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs, "doc_id", "text").orderBy(
+        "record_id"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic corpus mixing (operators/sampling.py): per-language
     keep rates compiled to one native CASE over the portable-hash60
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "segment_dedup": q_segment_dedup,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1944,6 +1958,42 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "repetition_stats": r"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            t AS (SELECT doc_id, len(toks) AS n_tok,
+                         len(list_distinct(toks)) AS n_uniq
+                  FROM w),
+            g2 AS (SELECT doc_id, UNNEST(list_transform(
+                     generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g FROM w),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS m FROM g2 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, MAX(m) AS topm,
+                          SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS dupm
+                   FROM c2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, UNNEST(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 0)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS g FROM w),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS m FROM g3 GROUP BY 1, 2),
+            a3 AS (SELECT doc_id, MAX(m) AS topm,
+                          SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS dupm
+                   FROM c3 GROUP BY doc_id)
+            SELECT t.doc_id AS record_id, t.n_tok,
+                   CAST(t.n_tok - t.n_uniq AS DOUBLE) / t.n_tok
+                     AS dup_token_frac,
+                   CASE WHEN coalesce(a2.topm, 0) > 1
+                        THEN (a2.topm * 2.0) / t.n_tok ELSE 0.0 END
+                     AS top2_frac,
+                   (coalesce(a2.dupm, 0) * 2.0) / t.n_tok AS dup2_frac,
+                   CASE WHEN coalesce(a3.topm, 0) > 1
+                        THEN (a3.topm * 3.0) / t.n_tok ELSE 0.0 END
+                     AS top3_frac,
+                   (coalesce(a3.dupm, 0) * 3.0) / t.n_tok AS dup3_frac
+            FROM t LEFT JOIN a2 ON a2.doc_id = t.doc_id
+                   LEFT JOIN a3 ON a3.doc_id = t.doc_id
+            ORDER BY record_id
         """,
         "stratified_sample": f"""
             WITH s AS (

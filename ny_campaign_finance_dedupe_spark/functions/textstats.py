@@ -265,3 +265,77 @@ def _winnow_fast_udf(k: int, w: int):
     # pandas_udf typehint parser an unresolvable 'pd.Series' string
     _winnow.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_winnow, "array<bigint>")
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Within-document repetition signals — the Gopher repetition
+    quality filters (Rae et al. 2021, arXiv:2112.11446 §A1.1), at token
+    granularity (the corpus carries no char-level structure worth
+    weighting; a documented deviation from the paper's character
+    fractions):
+
+    (record_id, n_tok, dup_token_frac, top2_frac, dup2_frac, top3_frac,
+    dup3_frac) where for n-grams of n in {2, 3}: ``topN_frac`` =
+    occurrences of the MOST frequent n-gram x n / n_tok when that gram
+    repeats, else 0.0 (a unique most-frequent gram is no repetition
+    signal; a looping page scores high), ``dupN_frac`` = total
+    occurrences of n-grams seen more than once x n / n_tok;
+    ``dup_token_frac`` = repeated-token share.
+    Fractions are single int-ratio divides — bit-identical in any IEEE
+    engine, so the DuckDB oracle recomputes them exactly.
+
+    Physical shape: one Arrow-batched kernel, per-row C-level Counter
+    over the token stream — ZERO shuffle (the explode + per-doc groupBy
+    alternative keys a corpus-sized exchange on (doc, gram) for a
+    per-row statistic; same argument as the TF-IDF kernel micro-bench in
+    BASELINE.md). NULL text propagates NULL stats (nullable Int64/float
+    arrays — pandas object+None int columns corrupt low bits through
+    Arrow otherwise)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"record_id {id_type}, n_tok long, dup_token_frac double,"
+        f" top2_frac double, dup2_frac double,"
+        f" top3_frac double, dup3_frac double"
+    )
+
+    def one(text):
+        if text is None:
+            return (None,) * 6
+        toks = text.split(" ")
+        n = len(toks)
+        uniq = len(set(toks))
+        out = [n, (n - uniq) / n]
+        for k in (2, 3):
+            if n < k:
+                out += [0.0, 0.0]
+                continue
+            c = Counter(
+                tuple(toks[i : i + k]) for i in range(n - k + 1)
+            )
+            top = max(c.values())
+            dup = sum(m for m in c.values() if m > 1)
+            out += [(top * k) / n if top > 1 else 0.0, (dup * k) / n]
+        return tuple(out)
+
+    def batch(it):
+        for pdf in it:
+            stats = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "record_id": pdf[id_col],
+                    "n_tok": pd.array(
+                        [s[0] for s in stats], dtype="Int64"
+                    ),
+                    "dup_token_frac": [s[1] for s in stats],
+                    "top2_frac": [s[2] for s in stats],
+                    "dup2_frac": [s[3] for s in stats],
+                    "top3_frac": [s[4] for s in stats],
+                    "dup3_frac": [s[5] for s in stats],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)

@@ -694,3 +694,35 @@ def test_segment_dedup_guards(spark):
         dedup.segment_dedup(
             df, "doc_id", "text", seg_words=5, df_threshold=1, max_hot=0
         )
+
+
+def test_repetition_stats_goldens(spark):
+    """Hand-computed Gopher repetition signals: a looping page, a clean
+    page, a short page below gram width, and a NULL text (nullable
+    Int64 path — object+None int columns corrupt through Arrow
+    otherwise)."""
+    rows = [
+        (1, "spam ham spam ham spam ham"),      # loop: 6 toks, 2 uniq
+        (2, "every word here is different ok"),  # clean: no repeats
+        (3, "one"),                               # below 2-gram width
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["record_id"]: r for r in
+           textstats.repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_tok"] == 6
+    assert abs(r1["dup_token_frac"] - 4 / 6) < 1e-15
+    # 2-grams: (spam ham) x3, (ham spam) x2 -> top 3*2/6=1.0, dup 5*2/6
+    assert abs(r1["top2_frac"] - 1.0) < 1e-15
+    assert abs(r1["dup2_frac"] - 10 / 6) < 1e-15
+    # 3-grams: (spam ham spam) x2, (ham spam ham) x2 -> top 2*3/6=1.0
+    assert abs(r1["top3_frac"] - 1.0) < 1e-15
+    assert abs(r1["dup3_frac"] - 2.0) < 1e-15
+    r2 = out[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top2_frac"] == 0.0 and r2["dup2_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_tok"] == 1 and r3["top2_frac"] == 0.0
+    r4 = out[4]
+    assert r4["n_tok"] is None and r4["dup3_frac"] is None
