@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_dedup",
     "simhash_dedup",
     "token_stats",
+    "repetition_stats",
     "quality_score",
     "lang_id",
     "pricing_summary",
