@@ -1999,7 +1999,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT doc_id, lang,
                 {portable.sql_hash60(
-                    "concat('mix1', CAST(doc_id AS VARCHAR))")}
+                    "concat('mix1:', CAST(doc_id AS VARCHAR))")}
                   / 1152921504606846976.0 AS u
               FROM documents
             ),
@@ -2012,7 +2012,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang,
                    CASE WHEN {portable.sql_hash60(
-                       "concat('split', CAST(doc_id AS VARCHAR))")}
+                       "concat('split:', CAST(doc_id AS VARCHAR))")}
                           / 1152921504606846976.0 < 0.2
                         THEN 'test' ELSE 'train' END AS split
             FROM k ORDER BY doc_id

@@ -598,10 +598,15 @@ def segment_dedup(
     """
     if strategy not in ("broadcast", "join"):
         raise ValueError(f"segment_dedup: unknown strategy {strategy!r}")
+    # persisted: the segmentation projection feeds three plan subtrees
+    # per strategy (df agg + hot-string probe + rebuild / ex + hot_h +
+    # all_docs) and Catalyst does no CSE across them — unpersisted, the
+    # corpus would be re-tokenized three times per call (caller reclaims
+    # via dedup.release, the module's _tag_persisted convention)
     base = df.select(
         F.col(id_col).alias("record_id"),
         segment_text(F.col(text_col), seg_words).alias("segs"),
-    )
+    ).persist()
     postings = base.select(
         "record_id",
         F.explode(F.array_distinct("segs")).alias("seg"),
@@ -664,7 +669,9 @@ def segment_dedup(
                     }
                 )
 
-        return base.mapInPandas(drop_hot, schema=out_schema)
+        return _tag_persisted(
+            base.mapInPandas(drop_hot, schema=out_schema), base
+        )
     ex = base.select(
         "record_id",
         F.size("segs").alias("n_seg"),
@@ -691,7 +698,7 @@ def segment_dedup(
     # join — restore it with clean_text '' (posexplode_outer keeps only
     # docs with a null seg, i.e. empty input arrays)
     all_docs = base.select("record_id", F.size("segs").alias("n_seg"))
-    return (
+    return _tag_persisted(
         all_docs.join(
             agg.select("record_id", "clean_text", "_n_kept"),
             "record_id",
@@ -706,5 +713,6 @@ def segment_dedup(
             (F.col("n_seg") - F.coalesce("_n_kept", F.lit(0)))
             .cast("int")
             .alias("n_dropped"),
-        )
+        ),
+        base,
     )

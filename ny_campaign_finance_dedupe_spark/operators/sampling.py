@@ -35,10 +35,15 @@ _HASH_SPAN = float(1 << 60)
 
 
 def uniform01(col: Column | str, salt: str = "") -> Column:
-    """Deterministic uniform in [0, 1) from a record identifier."""
+    """Deterministic uniform in [0, 1) from a record identifier. The
+    ':' delimiter keeps (salt, id) injective — without it salt 's1' +
+    id 23 and salt 's' + id 123 would hash the same string and the
+    independent-salts guarantee would silently break for prefix-related
+    salt families. (Keep ':' out of salts; numeric ids never contain
+    it.)"""
     c = F.col(col) if isinstance(col, str) else col
     return portable.hash60(
-        F.concat(F.lit(salt), c.cast("string"))
+        F.concat(F.lit(salt + ":"), c.cast("string"))
     ) / F.lit(_HASH_SPAN)
 
 

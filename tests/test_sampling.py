@@ -69,3 +69,17 @@ def test_sampling_plan_is_narrow(spark):
     out = sampling.deterministic_sample(df, "doc_id", 0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_salt_id_concat_is_injective(spark):
+    """Prefix-related salts must give independent uniforms: the ':'
+    delimiter stops ('s1', 23) and ('s', 123) hashing the same string."""
+    df = spark.createDataFrame([(23,)], "doc_id long")
+    u = lambda salt: df.select(
+        sampling.uniform01("doc_id", salt).alias("u")
+    ).collect()[0]["u"]
+    df2 = spark.createDataFrame([(123,)], "doc_id long")
+    u2 = df2.select(
+        sampling.uniform01("doc_id", "s").alias("u")
+    ).collect()[0]["u"]
+    assert u("s1") != u2

@@ -130,3 +130,43 @@ def test_ingest_dedup_suppresses_recrawls_across_restart(spark, tmp_path):
     )
     keys = {r["k"] for r in df.select(k(F.col("t")).alias("k")).collect()}
     assert len(keys) == 1
+
+
+def test_ingest_key_matches_batch_exact_key(spark):
+    """The stream's content key must equal the batch pipeline's
+    exact_key on every page shape — text-only, abbreviation variant
+    (goes through the gated canonicalize UDF), and html-only (text
+    derived by the extraction UDF) — so a page admitted at ingest and a
+    page deduped in batch agree on identity."""
+    import datetime
+
+    from ny_campaign_finance_dedupe_spark.plans.pipeline import (
+        DedupePipeline,
+        PipelineConfig,
+    )
+    from ny_campaign_finance_dedupe_spark.streaming import ingest
+
+    t0 = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", t0, None, "123 Main St", "en"),
+            ("https://a.com/2", t0, None, "123 Main Street", "en"),
+            ("https://a.com/3", t0, b"<p>Hello world</p>", None, "en"),
+            ("https://a.com/4", t0, None, "plain page text", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    pipe = DedupePipeline(PipelineConfig())
+    batch = {
+        r["url"]: r["exact_key"]
+        for r in pipe.signatures(pipe.extract(pages))
+        .select("url", "exact_key")
+        .collect()
+    }
+    stream = {
+        r["url"]: r["exact_key"]
+        for r in ingest.with_content_key(pages)
+        .select("url", "exact_key")
+        .collect()
+    }
+    assert batch == stream and len(batch) == 4
