@@ -546,6 +546,20 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composite corpus-cleaning recipe (plans/corpus.clean_corpus):
+    CCNet segment dedup -> drop emptied docs -> exact keep-min on the
+    CLEANED text -> minimum-length gate, one lazy plan over the same
+    code paths the standalone queries gate. The oracle composes the
+    shared segment CTEs with the dedup window and the length filter."""
+    from ny_campaign_finance_dedupe_spark.plans import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.clean_corpus(
+        docs, "doc_id", "text", seg_words=10, df_threshold=1, min_tokens=5
+    ).orderBy("record_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic corpus mixing (operators/sampling.py): per-language
     keep rates compiled to one native CASE over the portable-hash60
@@ -941,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
+        "clean_corpus": q_clean_corpus,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -1317,6 +1332,33 @@ def _lsh_planes_values(dim: int = 64, bands: int = 8, bits: int = 8) -> str:
             s = signs[b * bits + i]
             rows.append(f"({b}, {i}, {s})")
     return ",\n".join(rows)
+
+
+# dedup.segment_text + segment_dedup mirrored as shareable CTEs
+# (consumed by the segment_dedup oracle and the clean_corpus composite)
+_SEG_CTES = r"""
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+-- dedup.segment_text: non-overlapping 10-word windows,
+-- last partial (list slices clip at both engines)
+g AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+    SELECT doc_id, UNNEST(list_transform(
+      generate_series(1, CAST((len(words) + 9) // 10 AS BIGINT)),
+      i -> struct_pack(pos := i,
+        seg := array_to_string(
+          words[(i-1)*10+1:(i-1)*10+10], ' ')))) AS u
+    FROM w)
+),
+hot AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM g)
+        GROUP BY seg HAVING COUNT(*) > 1),
+kept AS (SELECT doc_id, pos, seg FROM g
+         WHERE seg NOT IN (SELECT seg FROM hot)),
+agg AS (SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM g GROUP BY doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2017,34 +2059,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split
             FROM k ORDER BY doc_id
         """,
-        "segment_dedup": r"""
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-                       FROM documents),
-            -- dedup.segment_text: non-overlapping 10-word windows,
-            -- last partial (list slices clip at both engines)
-            g AS (
-              SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
-                SELECT doc_id, UNNEST(list_transform(
-                  generate_series(1, CAST((len(words) + 9) // 10 AS BIGINT)),
-                  i -> struct_pack(pos := i,
-                    seg := array_to_string(
-                      words[(i-1)*10+1:(i-1)*10+10], ' ')))) AS u
-                FROM w)
-            ),
-            hot AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM g)
-                    GROUP BY seg HAVING COUNT(*) > 1),
-            kept AS (SELECT doc_id, pos, seg FROM g
-                     WHERE seg NOT IN (SELECT seg FROM hot)),
-            agg AS (SELECT doc_id,
-                           string_agg(seg, ' ' ORDER BY pos) AS clean_text,
-                           COUNT(*) AS n_kept
-                    FROM kept GROUP BY doc_id),
-            tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM g GROUP BY doc_id)
+        "segment_dedup": "WITH " + _SEG_CTES + """
             SELECT t.doc_id AS record_id,
                    coalesce(a.clean_text, '') AS clean_text,
                    t.n_seg,
                    t.n_seg - coalesce(a.n_kept, 0) AS n_dropped
             FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+            ORDER BY record_id
+        """,
+        "clean_corpus": "WITH " + _SEG_CTES + """,
+            -- plans/corpus.clean_corpus: drop emptied docs, exact
+            -- keep-min on CLEANED text, minimum-length gate
+            ne AS (SELECT doc_id, clean_text FROM agg
+                   WHERE clean_text <> ''),
+            win AS (SELECT doc_id, clean_text,
+                           MIN(doc_id) OVER (PARTITION BY clean_text)
+                             AS keeper
+                    FROM ne)
+            SELECT doc_id AS record_id, clean_text,
+                   len(string_split(clean_text, ' ')) AS n_tok
+            FROM win
+            WHERE doc_id = keeper
+              AND len(string_split(clean_text, ' ')) >= 5
             ORDER BY record_id
         """,
         "url_dedup": r"""

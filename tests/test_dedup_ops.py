@@ -726,3 +726,33 @@ def test_repetition_stats_goldens(spark):
     assert r3["n_tok"] == 1 and r3["top2_frac"] == 0.0
     r4 = out[4]
     assert r4["n_tok"] is None and r4["dup3_frac"] is None
+
+
+def test_clean_corpus_composite(spark):
+    """The cleaning chain end-to-end: boilerplate stripped; two docs
+    that become IDENTICAL after stripping collapse to the min id (raw
+    exact dedup would miss them); emptied and too-short docs drop."""
+    from ny_campaign_finance_dedupe_spark.plans import corpus
+
+    hdr = "nav home about contact legal"
+    rows = [
+        # 1 and 2: same body, different position of the shared header ->
+        # raw texts differ, cleaned texts identical
+        (1, hdr + " alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon " + hdr),
+        (3, hdr),                                    # emptied -> dropped
+        (4, "tiny doc"),                             # < min_tokens
+        (5, "a completely different surviving page body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # df_threshold=2: the header (3 docs) is boilerplate, the shared
+    # body (2 docs) is NOT — it must survive cleaning and then collapse
+    # in the exact stage instead
+    res = corpus.clean_corpus(
+        df, "doc_id", "text", seg_words=5, df_threshold=2, min_tokens=5
+    )
+    out = {r["record_id"]: r for r in res.collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_tok"] == 5
+    dedup.release(res)  # reclaims the segment persist carried through
