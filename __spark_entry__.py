@@ -546,6 +546,56 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): drop every doc
+    sharing an 8-word gram with the pseudo-benchmark (doc_id % 97 == 0
+    rows of the same corpus — so the benchmark rows and their planted
+    near-dup family members contaminate). Broadcast semi-join on gram
+    hashes; the corpus side never shuffles text. Oracle joins the gram
+    CTEs directly."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return (
+        dedup.decontaminate(docs, "doc_id", "text", bench, "text", n=8)
+        .select(
+            F.col("doc_id").alias("record_id"), "lang", "n_chars"
+        )
+        .orderBy("record_id")
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (normalize.redact_pii): emails, IPv4s, and phone-shaped
+    digit runs replaced with typed placeholders, planted deterministically
+    from doc_id (every 2nd doc an email, every 3rd an IP, every 5th a
+    phone — so overlap combinations occur). Pure Catalyst regexp chain;
+    the oracle applies the IDENTICAL RE2-compatible patterns with
+    DuckDB's 'g' flag (Spark regexp_replace is global by default)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 200).cast("string"),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call +1 (555) 01"), (d % 90 + 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.col("doc_id").alias("record_id"),
+        normalize.redact_pii(dirty).alias("clean_text"),
+    ).orderBy("record_id")
+
+
 def q_clean_corpus(spark, sf_dir):
     """Composite corpus-cleaning recipe (plans/corpus.clean_corpus):
     CCNet segment dedup -> drop emptied docs -> exact keep-min on the
@@ -956,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -2066,6 +2118,48 @@ def oracle_sql() -> dict[str, str]:
                    t.n_seg - coalesce(a.n_kept, 0) AS n_dropped
             FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
             ORDER BY record_id
+        """,
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+            g8 AS (
+              SELECT doc_id, UNNEST(list_transform(
+                generate_series(1, greatest(len(words) - 7, 0)),
+                i -> array_to_string(words[i:i+7], ' '))) AS gram
+              FROM w
+            ),
+            contaminated AS (
+              SELECT DISTINCT g.doc_id
+              FROM g8 g JOIN g8 b
+                ON b.doc_id % 97 = 0 AND g.gram = b.gram
+            )
+            SELECT doc_id AS record_id, lang, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ORDER BY record_id
+        """,
+        "pii_redact": """
+            WITH dirty AS (
+              SELECT doc_id, text
+                || (CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.'
+                     || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 01'
+                     || CAST(doc_id % 90 + 10 AS VARCHAR)
+                     ELSE '' END) AS t
+              FROM documents)
+            SELECT doc_id AS record_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '"""
+        + normalize.PII_EMAIL_RE + """', '<EMAIL>', 'g'),
+                     '"""
+        + normalize.PII_IPV4_RE + """', '<IP>', 'g'),
+                     '"""
+        + normalize.PII_PHONE_RE + """', '<PHONE>', 'g') AS clean_text
+            FROM dirty ORDER BY record_id
         """,
         "clean_corpus": "WITH " + _SEG_CTES + """,
             -- plans/corpus.clean_corpus: drop emptied docs, exact

@@ -306,3 +306,27 @@ def canonical_url(col: Column | str) -> Column:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
     return F.when(u.rlike(_SCHEME_RE), canon).otherwise(F.lower(F.trim(u)))
+
+
+# PII scrubbing (training-data compliance prefilter). Patterns are
+# deliberately RE2-compatible (no lookaround/backrefs) so the DuckDB
+# oracle applies the IDENTICAL strings; replacement order matters (ip
+# before phone — the phone pattern would otherwise eat dotted quads).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9().\s-]{6,}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholders — the standard web-corpus PII scrub applied
+    before text ships to training. One narrow regexp_replace chain
+    (whole-stage codegen; runs inside the scan projection at 10^12
+    rows); recall-oriented (a phone-shaped number that is not a phone
+    still redacts) — the cheap, auditable tradeoff corpus pipelines
+    make."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return c

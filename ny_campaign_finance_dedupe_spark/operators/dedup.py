@@ -716,3 +716,47 @@ def segment_dedup(
         ),
         base,
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / training-data
+    hygiene step): DROP every training document sharing at least one
+    ``n``-word gram with an evaluation benchmark, so eval scores measure
+    generalization rather than memorized test rows. Returns the
+    SURVIVING rows of ``df`` (all original columns).
+
+    Scale shape: benchmark gram hashes are tiny relative to the corpus
+    (benchmarks are fixed-size; the corpus is 10^12 docs) and broadcast;
+    the corpus side explodes to (id, gram-hash) — 16 bytes/row, never
+    text — and the semi-join against the broadcast build side does NOT
+    shuffle it. The final anti-join keys on contaminated ids (usually a
+    small fraction; AQE broadcasts it when it fits, and a shuffled anti
+    join is still linear when it does not)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                keygen.word_ngrams(F.col(bench_text_col), n)
+            ).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select("_cid", F.xxhash64("g").alias("gh"))
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .select("_cid")
+        .distinct()
+    )
+    return df.join(
+        contaminated.withColumnRenamed("_cid", id_col), id_col, "left_anti"
+    )

@@ -756,3 +756,20 @@ def test_clean_corpus_composite(spark):
     assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
     assert out[1]["n_tok"] == 5
     dedup.release(res)  # reclaims the segment persist carried through
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A training doc quoting 8+ consecutive benchmark words drops; a
+    doc sharing only shorter runs survives; benchmark self-rows drop."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, bench_text),                                   # benchmark row
+        (2, "intro text then " + bench_text + " quoted verbatim"),
+        (3, "the quick brown fox appears here but the run stops"),
+        (4, "completely unrelated content with new words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where("doc_id = 1")
+    out = {r["doc_id"] for r in
+           dedup.decontaminate(df, "doc_id", "text", bench, n=8).collect()}
+    assert out == {3, 4}

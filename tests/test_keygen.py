@@ -174,3 +174,23 @@ def test_canonical_url_groups_variants(spark):
         ).collect()
     }
     assert len(keys) == 2
+
+
+def test_redact_pii_goldens(spark):
+    """Each PII class and the documented recall-oriented behavior:
+    emails, dotted quads, phone-shaped runs redact; short digit runs
+    and plain words survive; order (ip before phone) keeps quads as
+    <IP>, not <PHONE>."""
+    cases = [
+        ("mail bob.smith+x@sub.example.co.uk now",
+         "mail <EMAIL> now"),
+        ("server at 192.168.001.255 up", "server at <IP> up"),
+        ("call +1 (555) 010-9922 today", "call <PHONE> today"),
+        ("v2 build 7 ok", "v2 build 7 ok"),          # short digits survive
+        ("ip 10.0.0.1 then 555-0199-22", "ip <IP> then <PHONE>"),
+        ("a@b.co and 1.2.3.4", "<EMAIL> and <IP>"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["c"] for r in df.select(
+        normalize.redact_pii(F.col("t")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
