@@ -2120,7 +2120,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY record_id
         """,
         "decontaminate": r"""
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+            -- regexp split (\s+) to mirror keygen.word_ngrams exactly:
+            -- a doubled space must not leave an empty token in the gram
+            -- on one engine only
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(text, '\s+') AS words
                        FROM documents),
             g8 AS (
               SELECT doc_id, UNNEST(list_transform(

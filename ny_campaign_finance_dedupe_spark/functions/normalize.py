@@ -314,7 +314,11 @@ def canonical_url(col: Column | str) -> Column:
 # before phone — the phone pattern would otherwise eat dotted quads).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PII_PHONE_RE = r"\+?[0-9][0-9().\s-]{6,}[0-9]"
+# whitespace spelled out, not \s: Java's \s includes vertical tab
+# (\x0B), RE2's does not — the identical-pattern invariant must hold
+# character-for-character on both engines (\t/\n/\f/\r are regex
+# escapes both engines parse the same way)
+PII_PHONE_RE = r"\+?[0-9][0-9().\t\n\f\r -]{6,}[0-9]"
 
 
 def redact_pii(col: Column | str) -> Column:

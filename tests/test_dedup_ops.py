@@ -773,3 +773,19 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     out = {r["doc_id"] for r in
            dedup.decontaminate(df, "doc_id", "text", bench, n=8).collect()}
     assert out == {3, 4}
+
+
+def test_decontaminate_collapses_whitespace_runs(spark):
+    """word_ngrams splits on \\s+, so a doubled space inside the quoted
+    benchmark run must still contaminate (the oracle mirrors this with
+    a regexp split)."""
+    bench_text = "one two three four five six seven eight nine"
+    rows = [
+        (1, bench_text),
+        (2, "prefix one two  three four five six seven eight suffix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where("doc_id = 1")
+    out = {r["doc_id"] for r in
+           dedup.decontaminate(df, "doc_id", "text", bench, n=8).collect()}
+    assert out == set()  # both drop: the doubled space collapses

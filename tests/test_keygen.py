@@ -194,3 +194,18 @@ def test_redact_pii_goldens(spark):
     got = [r["c"] for r in df.select(
         normalize.redact_pii(F.col("t")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_redact_pii_vertical_tab_parity(spark):
+    """The phone class spells whitespace out instead of \\s because
+    Java's \\s includes \\x0B and RE2's does not: a vertical-tab-
+    separated digit run must be left intact on BOTH engines (pattern
+    identity beats marginal recall here)."""
+    df = spark.createDataFrame(
+        [("call 555\x0b0199-22 now",), ("call 555\t0199-22 now",)],
+        "t string",
+    )
+    got = [r["c"] for r in df.select(
+        normalize.redact_pii(F.col("t")).alias("c")).collect()]
+    assert got[0] == "call 555\x0b0199-22 now"  # \x0B: not whitespace
+    assert got[1] == "call <PHONE> now"          # real tab: redacts
