@@ -533,6 +533,22 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_shard_counts(spark, sf_dir):
+    """Deterministic corpus sharding (sampling.assign_shards): per-row
+    hash-based shard in [0, 16) plus the per-shard size profile the
+    write side partitions by — reproducible at any parallelism. Oracle
+    recomputes the md5-derived shard ids and the group sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = sampling.assign_shards(
+        docs.select("doc_id"), "doc_id", n_shards=16
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("shard")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher repetition quality filters (textstats.repetition_stats;
     Rae et al. 2021 §A1.1) at token granularity: repeated-token share,
@@ -1008,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "shard_counts": q_shard_counts,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -2052,6 +2069,16 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN ev qa ON qa.vec_id = c.query_id
                           JOIN ev qb ON qb.vec_id = c.neighbor_id)
             WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "shard_counts": f"""
+            SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+            FROM (
+              SELECT doc_id,
+                     CAST({portable.sql_hash60(
+                         "concat('shard:', CAST(doc_id AS VARCHAR))")}
+                       % 16 AS INTEGER) AS shard
+              FROM documents)
+            GROUP BY shard ORDER BY shard
         """,
         "repetition_stats": r"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks

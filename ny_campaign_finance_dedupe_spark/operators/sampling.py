@@ -88,3 +88,25 @@ def train_test_split(
             uniform01(id_col, salt) < F.lit(float(test_frac)), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def assign_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Adds a ``shard`` column in [0, n_shards): the deterministic
+    global shuffle a training-ingestion job needs — hash-based, so shard
+    membership is reproducible across runs and cluster sizes, and
+    approximately uniform (the write side then does
+    ``.repartition('shard').write.partitionBy('shard')`` for one
+    shuffle into N stable shards). Same hash family as the samplers:
+    nested/independent-salt properties carry over."""
+    if n_shards <= 0:
+        raise ValueError(f"assign_shards: n_shards must be > 0, got {n_shards}")
+    c = F.col(id_col)
+    return df.withColumn(
+        "shard",
+        (
+            portable.hash60(F.concat(F.lit(salt + ":"), c.cast("string")))
+            % F.lit(n_shards)
+        ).cast("int"),
+    )

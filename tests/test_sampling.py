@@ -83,3 +83,20 @@ def test_salt_id_concat_is_injective(spark):
         sampling.uniform01("doc_id", "s").alias("u")
     ).collect()[0]["u"]
     assert u("s1") != u2
+
+
+def test_assign_shards_uniform_and_stable(spark):
+    df = spark.range(0, 4800).select(F.col("id").alias("doc_id"))
+    a = sampling.assign_shards(df, "doc_id", 16)
+    counts = {r["shard"]: r["n"] for r in
+              a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(16))
+    # near-uniform: every shard within 2x of the expected 300
+    assert all(150 < n < 600 for n in counts.values())
+    # stable under repartition
+    b = sampling.assign_shards(df.repartition(7), "doc_id", 16)
+    assert {(r["doc_id"], r["shard"]) for r in a.collect()} == \
+           {(r["doc_id"], r["shard"]) for r in b.collect()}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_shards"):
+        sampling.assign_shards(df, "doc_id", 0)
