@@ -658,6 +658,23 @@ def q_segment_dedup(spark, sf_dir):
     ).orderBy("record_id")
 
 
+def q_passage_dedup(spark, sf_dir):
+    """ExactSubstr duplicate-passage removal (dedup.passage_dedup; Lee
+    et al. 2022, arXiv:2107.06499 §4.1): every token covered by an
+    8-token span occurring at >=2 (doc, offset) sites corpus-wide is
+    removed — the planted dup families share long spans, so this prunes
+    their common passages while unique text survives byte-identical.
+    The impl groups window sites by xxhash64; the oracle groups by the
+    window STRING itself (same result absent 64-bit collisions — the
+    repo's cluster_edges hash convention) and mirrors the slice
+    windows, >=2-site filter, covered-position union, and ORDER BY pos
+    rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.passage_dedup(
+        docs, "doc_id", "text", window=8
+    ).orderBy("record_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (normalize.canonical_url): the Common-Crawl
     URL prefilter — scheme/host-case fold, www + default-port strip,
@@ -1019,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "url_dedup": q_url_dedup,
         "segment_dedup": q_segment_dedup,
+        "passage_dedup": q_passage_dedup,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
@@ -2145,6 +2163,45 @@ def oracle_sql() -> dict[str, str]:
                    t.n_seg - coalesce(a.n_kept, 0) AS n_dropped
             FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
             ORDER BY record_id
+        """,
+        "passage_dedup": """
+            WITH w AS (SELECT doc_id,
+                              string_split(coalesce(text,''), ' ') AS words
+                       FROM documents),
+            -- dedup._passage_windows_arr: overlapping 8-token spans
+            wins AS (
+              SELECT doc_id, UNNEST(list_transform(
+                  generate_series(1, greatest(len(words) - 7, 0)),
+                  i -> struct_pack(start := i - 1,
+                                   win := array_to_string(
+                                     words[i:i+7], ' ')))) AS u
+              FROM w),
+            s AS (SELECT doc_id, u.start AS start, u.win AS win FROM wins),
+            -- >= 2 (doc, offset) sites, within-doc repeats included
+            dup AS (SELECT win FROM s GROUP BY win HAVING COUNT(*) >= 2),
+            cov0 AS (SELECT doc_id,
+                            UNNEST(generate_series(start, start + 7)) AS pos
+                     FROM (SELECT doc_id, start FROM s JOIN dup USING (win))),
+            covpos AS (SELECT DISTINCT doc_id, pos FROM cov0),
+            toks AS (SELECT doc_id, UNNEST(list_transform(
+                       generate_series(1, len(words)),
+                       i -> struct_pack(pos := i - 1, tok := words[i]))) AS u
+                     FROM w),
+            t2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks),
+            kept AS (SELECT t2.doc_id, t2.pos, t2.tok
+                     FROM t2 LEFT JOIN covpos c
+                       ON t2.doc_id = c.doc_id AND t2.pos = c.pos
+                     WHERE c.pos IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT w.doc_id AS record_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(w.words) AS INT) AS n_tokens,
+                   CAST(len(w.words) - coalesce(a.n_kept, 0) AS INT)
+                     AS n_removed
+            FROM w LEFT JOIN agg a USING (doc_id) ORDER BY record_id
         """,
         "decontaminate": r"""
             -- regexp split (\s+) to mirror keygen.word_ngrams exactly:

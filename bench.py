@@ -34,6 +34,7 @@ from ny_campaign_finance_dedupe_spark.synth import synth_pages
 HEADLINE = [
     "url_dedup",
     "segment_dedup",
+    "passage_dedup",
     "clean_corpus",
     "exact_dedup_clusters",
     "fingerprint_clusters",

@@ -760,3 +760,122 @@ def decontaminate(
     return df.join(
         contaminated.withColumnRenamed("_cid", id_col), id_col, "left_anti"
     )
+
+
+def passage_windows(
+    text: Column, window: int
+) -> Column:
+    """All overlapping ``window``-token spans of a whitespace-tokenized
+    text as array<struct<start:int, win:string>> (start is the 0-based
+    token offset). Pure Catalyst (split + sequence + slice); the
+    passage_dedup oracle mirrors it with a DuckDB list-slice CTE. A text
+    with fewer than ``window`` tokens yields an empty array."""
+    return _passage_windows_arr(
+        F.split(F.coalesce(text, F.lit("")), " "), window
+    )
+
+
+def _passage_windows_arr(words: Column, window: int) -> Column:
+    """passage_windows over an already-tokenized array<string>."""
+    nwin = F.size(words) - window + 1
+    return F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.array_join(F.slice(words, i + 1, window), " ").alias(
+                    "win"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,win:string>>"))
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_sites: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-passage removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): remove every token covered by a ``window``-
+    token span whose exact text occurs at >= ``min_sites`` distinct
+    (document, offset) sites corpus-wide — including repeats *within*
+    one document, exactly as the suffix-array formulation counts them.
+    The fixed-window rolling formulation is equivalent to the paper's
+    "substring of length >= L duplicated" criterion at token granularity:
+    a token lies in a duplicated substring of >= ``window`` tokens iff
+    some duplicated ``window``-window covers it. Returns
+    (record_id, clean_text, n_tokens, n_removed); clean_text preserves
+    surviving tokens in order ('' when everything was duplicated).
+
+    Scale shape (contrast the pair-producing dedup family above): this
+    operator is corpus-token-LINEAR even under adversarial boilerplate —
+    no pairs are ever formed. The postings shuffle carries
+    (id, start, xxhash64) only (~20 bytes/token, never text); the site
+    count is one map-side-combining groupBy; the join-back fans out
+    linearly in duplicate occurrences (each site appears once); the
+    per-document rebuild state is bounded by document length. The one
+    hash caveat matches the repo's xxhash64 convention: at 10^12-token
+    corpora swap in a 128-bit split key. The kept-token filter is an
+    interpreted higher-order expression, O(tokens x covered-spans) per
+    doc — fine for web pages (10^3-10^4 tokens); route pathological
+    multi-MB docs through an Arrow kernel if they appear.
+    """
+    base = df.select(
+        F.col(id_col).alias("record_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias(
+            "words"
+        ),
+    ).persist()
+    wins = base.select(
+        "record_id",
+        F.explode(_passage_windows_arr(F.col("words"), window)).alias(
+            "w"
+        ),
+    ).select(
+        "record_id",
+        F.col("w.start").alias("start"),
+        F.xxhash64("w.win").alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("sites"))
+        .where(F.col("sites") >= min_sites)
+        .select("wh")
+    )
+    starts = (
+        wins.join(dup, "wh")
+        .groupBy("record_id")
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    covered = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("starts"),
+                    lambda s: F.sequence(s, s + F.lit(window - 1)),
+                )
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    hydrated = base.join(starts, "record_id", "left").withColumn(
+        "covered", covered
+    )
+    kept = F.filter(
+        F.col("words"),
+        lambda w, i: ~F.array_contains(F.col("covered"), i.cast("int")),
+    )
+    return _tag_persisted(
+        hydrated.select(
+            "record_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("words").alias("n_tokens"),
+            (F.size("words") - F.size(kept)).cast("int").alias("n_removed"),
+        ),
+        base,
+    )

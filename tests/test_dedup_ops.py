@@ -789,3 +789,101 @@ def test_decontaminate_collapses_whitespace_runs(spark):
     out = {r["doc_id"] for r in
            dedup.decontaminate(df, "doc_id", "text", bench, n=8).collect()}
     assert out == set()  # both drop: the doubled space collapses
+
+
+# ---- ExactSubstr passage dedup (Lee et al. 2022) ----
+
+
+def test_passage_dedup_removes_shared_span(spark):
+    """Two docs share an exact 10-token passage (> window=8): every
+    token of the shared span is removed from BOTH, the unique prefix/
+    suffix survives byte-identical, untouched docs pass through."""
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"intro words here {shared} tail a"),
+        (2, f"other opening {shared} different ending text"),
+        (3, "completely unrelated document with its own words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["record_id"]: r
+        for r in dedup.passage_dedup(df, "doc_id", "text", window=8).collect()
+    }
+    assert out[1]["clean_text"] == "intro words here tail a"
+    assert out[2]["clean_text"] == "other opening different ending text"
+    assert out[1]["n_removed"] == 10 and out[2]["n_removed"] == 10
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+
+
+def test_passage_dedup_within_doc_repeat(spark):
+    """The suffix-array criterion counts sites, not documents: a span
+    repeated inside ONE doc is duplicated and both occurrences go."""
+    span = "a b c d e f g h"  # exactly window tokens
+    df = spark.createDataFrame(
+        [(1, f"x {span} y {span} z"), (2, "unrelated words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["record_id"]: r
+        for r in dedup.passage_dedup(df, "doc_id", "text", window=8).collect()
+    }
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["n_removed"] == 16
+    assert out[2]["n_removed"] == 0
+
+
+def test_passage_dedup_short_and_empty_docs(spark):
+    """Docs shorter than the window have no windows — untouched; ''
+    and NULL normalize to the single-empty-token shape consistently."""
+    dup = "p q r s t u v w"
+    rows = [(1, "tiny doc"), (2, ""), (3, None), (4, dup), (5, dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["record_id"]: r
+        for r in dedup.passage_dedup(df, "doc_id", "text", window=8).collect()
+    }
+    assert out[1]["clean_text"] == "tiny doc" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 0
+    # 4 and 5 are byte-identical window-length docs: fully removed
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 8
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 8
+
+
+def test_passage_dedup_min_sites(spark):
+    """min_sites raises the duplication bar: a span at 2 sites survives
+    min_sites=3, a span at 3 sites does not."""
+    two = "t1 t2 t3 t4 t5 t6 t7 t8"
+    three = "u1 u2 u3 u4 u5 u6 u7 u8"
+    rows = [
+        (1, f"{two} mid {three}"),
+        (2, f"start {two} end"),
+        (3, f"alpha {three} beta"),
+        (4, f"gamma {three} delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["record_id"]: r["clean_text"]
+        for r in dedup.passage_dedup(
+            df, "doc_id", "text", window=8, min_sites=3
+        ).collect()
+    }
+    assert out[1] == f"{two} mid"
+    assert out[2] == f"start {two} end"
+    assert out[3] == "alpha beta" and out[4] == "gamma delta"
+
+
+def test_passage_dedup_no_pair_explosion(spark):
+    """Scale shape: 300 copies of one boilerplate doc must NOT form
+    pairs anywhere — the optimized plan contains no join wider than the
+    linear site fan-out and the op completes with linear output."""
+    rows = [(i, "same eight tokens of boilerplate body text here") for i in range(300)]
+    rows += [(1000, "a unique document that shares nothing at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.passage_dedup(df, "doc_id", "text", window=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan and "collect_list" in plan
+    res = out.collect()
+    assert len(res) == 301
+    removed = {r["record_id"]: r["n_removed"] for r in res}
+    assert removed[0] == 8 and removed[1000] == 0
