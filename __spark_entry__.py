@@ -644,6 +644,23 @@ def q_stratified_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (sampling.temperature_mix, the
+    XLM-R/mT5 alpha-sampling recipe): per-language rates derived from
+    the observed counts (p_g = n_g^0.5 / sum n^0.5, rate = min(1,
+    target*p_g/n_g)) applied through the deterministic portable-hash
+    uniform. The sum over groups is an order-FIXED fold over the
+    group-sorted list (not a distributed float SUM, whose partition-
+    dependent order would change the sampled set between cluster
+    sizes); the oracle recomputes it with
+    list_reduce(list_sort(...)) and the identical operand order, so
+    mix_rate matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.temperature_mix(
+        docs, "doc_id", "lang", target_total=200, alpha=0.5, salt="temp"
+    ).select("doc_id", "lang", "mix_rate").orderBy("doc_id")
+
+
 def q_segment_dedup(spark, sf_dir):
     """CCNet paragraph dedup (dedup.segment_dedup; Wenzek et al. 2019):
     drop every 10-word segment occurring in >1 document (the planted
@@ -1038,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "passage_dedup": q_passage_dedup,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "pii_redact": q_pii_redact,
@@ -2155,6 +2173,29 @@ def oracle_sql() -> dict[str, str]:
                           / 1152921504606846976.0 < 0.2
                         THEN 'test' ELSE 'train' END AS split
             FROM k ORDER BY doc_id
+        """,
+        "temperature_mix": f"""
+            WITH c AS (SELECT lang AS g, COUNT(*) AS n
+                       FROM documents GROUP BY lang),
+            -- order-fixed fold mirroring F.aggregate(array_sort(...)):
+            -- list_reduce starts at the first element; Spark folds from
+            -- 0.0, and 0.0 + x == x exactly in IEEE
+            tot AS (SELECT list_reduce(
+                      list_transform(
+                        list_sort(list(struct_pack(g := g,
+                          pw := power(n, 0.5)))),
+                        s -> s.pw),
+                      (a, b) -> a + b) AS t FROM c),
+            r AS (SELECT g,
+                         least(1.0, 200.0 * (power(n, 0.5) / t) / n)
+                           AS mix_rate
+                  FROM c, tot)
+            SELECT d.doc_id, d.lang, r.mix_rate
+            FROM documents d JOIN r ON d.lang = r.g
+            WHERE {portable.sql_hash60(
+                "concat('temp:', CAST(doc_id AS VARCHAR))")}
+                  / 1152921504606846976.0 < r.mix_rate
+            ORDER BY doc_id
         """,
         "segment_dedup": "WITH " + _SEG_CTES + """
             SELECT t.doc_id AS record_id,

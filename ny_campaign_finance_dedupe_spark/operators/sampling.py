@@ -110,3 +110,80 @@ def assign_shards(
             % F.lit(n_shards)
         ).cast("int"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-pretraining
+    recipe — XLM-R / mT5 style): sample group g with probability mass
+    p_g = n_g^alpha / sum_h n_h^alpha, so low-resource groups are
+    up-weighted relative to their head-heavy natural frequencies
+    (alpha=1 reproduces them; alpha=0 is uniform across groups). Rates
+    are derived FROM the observed counts — the knob stratified_sample
+    expects you to hand it — then applied with the same deterministic
+    uniform01 filter, so the recipe is reproducible and auditable:
+    rate_g = min(1, target_total * p_g / n_g). Expected output size is
+    <= target_total (head groups clip at rate 1 before redistribution;
+    no iterative rebalance — document the clip, don't hide it). Returns
+    df's rows plus a ``mix_rate`` column.
+
+    Scale shape: one map-side-combining groupBy(group) count (group
+    cardinality ~ languages/domains, tiny), the rate table broadcasts
+    back onto the scan, and the filter is a narrow per-row predicate —
+    no corpus shuffle anywhere. Operand order in the rate expression is
+    fixed (pow, then /sum, then *target, then /n) and mirrored token-
+    for-token by the oracle so the IEEE doubles agree bit-for-bit.
+    """
+    if target_total <= 0:
+        raise ValueError(
+            f"temperature_mix: target_total must be > 0, got {target_total}"
+        )
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("_n")
+    )
+    # sum over groups of n^alpha: a scalar. NOT F.sum — float addition
+    # is order-sensitive in the last ULPs and a distributed agg's order
+    # is partition-dependent, which would make the rates (and therefore
+    # the sampled SET) differ between runs and cluster sizes. Fold the
+    # group-sorted list left-to-right instead: deterministic at any
+    # parallelism, mirrored exactly by the oracle's
+    # list_reduce(list_sort(...)). Group cardinality is metadata-scale
+    # (languages/domains), so the single collected list is tiny.
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g"),
+                        F.pow(F.col("_n"), F.lit(float(alpha))).alias(
+                            "_pw"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_pw"],
+        ).alias("_tot")
+    )
+    rates = (
+        counts.withColumn("_pw", F.pow(F.col("_n"), F.lit(float(alpha))))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_g",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * (F.col("_pw") / F.col("_tot"))
+                / F.col("_n"),
+            ).alias("mix_rate"),
+        )
+    )
+    return df.join(
+        F.broadcast(rates), F.col(group_col) == F.col("_g")
+    ).drop("_g").where(uniform01(id_col, salt) < F.col("mix_rate"))

@@ -100,3 +100,66 @@ def test_assign_shards_uniform_and_stable(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_shards"):
         sampling.assign_shards(df, "doc_id", 0)
+
+
+def _mix_corpus(spark):
+    # head-heavy: 800 en, 150 fr, 50 mi
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "fr") for i in range(150)]
+        + [(2000 + i, "mi") for i in range(50)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_mix_upweights_tail(spark):
+    """alpha=0.5 lifts low-resource groups: the tail group's keep RATE
+    exceeds the head's, while expected totals stay <= target."""
+    df = _mix_corpus(spark)
+    out = sampling.temperature_mix(df, "doc_id", "lang", target_total=300)
+    rates = {
+        r["lang"]: r["mix_rate"]
+        for r in out.select("lang", "mix_rate").distinct().collect()
+    }
+    assert rates["mi"] > rates["fr"] > rates["en"]
+    # rate_g = T * sqrt(n_g)/sum(sqrt) / n_g, exact values
+    import math
+    tot = math.sqrt(800) + math.sqrt(150) + math.sqrt(50)
+    for lang, n in (("en", 800), ("fr", 150), ("mi", 50)):
+        assert abs(rates[lang] - min(1.0, 300 * (math.sqrt(n) / tot) / n)) < 1e-12
+    assert out.count() <= 1000
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """alpha=1 reproduces natural frequencies (one shared rate);
+    alpha=0 gives every group the same expected SIZE (rate inversely
+    proportional to n)."""
+    df = _mix_corpus(spark)
+    nat = sampling.temperature_mix(df, "doc_id", "lang", 100, alpha=1.0)
+    rates = {r["lang"]: r["mix_rate"] for r in
+             nat.select("lang", "mix_rate").distinct().collect()}
+    assert max(rates.values()) - min(rates.values()) < 1e-12
+    uni = sampling.temperature_mix(df, "doc_id", "lang", 90, alpha=0.0)
+    urates = {r["lang"]: r["mix_rate"] for r in
+              uni.select("lang", "mix_rate").distinct().collect()}
+    for lang, n in (("en", 800), ("fr", 150), ("mi", 50)):
+        assert abs(urates[lang] * n - 30.0) < 1e-9
+
+
+def test_temperature_mix_deterministic_and_clipped(spark):
+    """The sampled SET is a pure function of (salt, id, counts) — same
+    rows at any parallelism; an over-large target clips at rate 1.0 and
+    keeps everything."""
+    df = _mix_corpus(spark)
+    a = sampling.temperature_mix(df, "doc_id", "lang", 300, salt="t1")
+    b = sampling.temperature_mix(
+        df.repartition(7), "doc_id", "lang", 300, salt="t1"
+    )
+    assert {r["doc_id"] for r in a.collect()} == \
+           {r["doc_id"] for r in b.collect()}
+    full = sampling.temperature_mix(df, "doc_id", "lang", 10_000_000)
+    assert full.count() == 1000
+    assert full.select("mix_rate").distinct().collect()[0]["mix_rate"] == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="target_total"):
+        sampling.temperature_mix(df, "doc_id", "lang", 0)
