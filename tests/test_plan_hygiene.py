@@ -50,8 +50,10 @@ def test_no_unbounded_nested_loop_join(plans):
     # the build side is an Aggregate producing exactly 1 row):
     # predicate_costs' total-row scalar subquery; carry_forward's
     # neg_floor fresh-id floor (clustering.py: crossJoin(broadcast(
-    # prev_map.agg(...))) — one row by construction)
-    allowed = {"predicate_costs", "carry_forward"}
+    # prev_map.agg(...))) — one row by construction); temperature_mix's
+    # order-fixed sum-of-n^alpha scalar (sampling.py: counts.crossJoin(
+    # broadcast(tot)) where tot is a global Aggregate — one row)
+    allowed = {"predicate_costs", "carry_forward", "temperature_mix"}
     offenders = [
         n
         for n, p in plans.items()
