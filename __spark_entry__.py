@@ -33,6 +33,7 @@ from ny_campaign_finance_dedupe_spark.functions import (  # noqa: E402
 from ny_campaign_finance_dedupe_spark.operators import (  # noqa: E402
     ann,
     blocking,
+    bloom,
     clustering,
     dedup,
     linkage,
@@ -692,6 +693,70 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("record_id")
 
 
+def q_bloom_novelty(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (operators/bloom.py): an
+    ingest batch — planted as 1/7 true duplicates of history under new
+    ids plus 1/7 genuinely novel texts — is reduced to its EXACT novelty
+    set against the full corpus. Bloom-negative rows short-circuit (zero
+    false negatives by construction); only bloom-positive rows pay the
+    exact confirm anti-join, so a mostly-novel batch touches history for
+    ~dup_rate of its rows. The filter is a side-car index (one pass over
+    history, 16 bits/key), reusable across batches. Oracle: plain ANTI
+    JOIN on the payload (the bloom is an optimization, not a
+    semantics change — exactness is the contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dups = docs.filter(d % 7 == 0).select(
+        (d + 20_000_000).alias("doc_id"), "text"
+    )
+    novel = docs.filter(d % 7 == 3).select(
+        (d + 30_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" NOVEL")).alias("text"),
+    )
+    batch = dups.unionByName(novel)
+    return (
+        bloom.bloom_novelty(batch, docs, "doc_id", "text", n_buckets=16)
+        .select("record_id")
+        .orderBy("record_id")
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 corpus cleaning (textstats.c4_clean; Raffel et al. 2020 §2.2):
+    line-level terminal-punctuation/>=5-words/javascript filters plus
+    doc-level lorem-ipsum / curly-brace / blocklist / >=3-sentences
+    gates. The fixture text has no line structure, so lines are planted
+    deterministically — 6-word chunks, '.' appended on 2 of 3 lines,
+    'javascript ' prefixed on every 7th, a lorem-ipsum line on doc_id%13
+    and a curly-brace line on doc_id%17 — exercising every branch. Pure
+    Catalyst (zero shuffle, one codegen span over the scan); the oracle
+    mirrors the synthesis and every filter token-for-token."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nc = F.greatest(
+        F.ceil(F.size(words) / F.lit(6.0)).cast("long"), F.lit(1)
+    )
+    line = lambda i: F.concat(  # noqa: E731
+        F.when(i % 7 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+        F.array_join(F.slice(words, (i * 6 + 1).cast("int"), 6), " "),
+        F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    raw = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), nc - 1), line), "\n"),
+        F.when(
+            d % 13 == 0, F.lit("\nlorem ipsum dolor sit amet consectetur.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 0, F.lit("\nthe config { block } is here now.")
+        ).otherwise(F.lit("")),
+    )
+    lined = docs.select("doc_id", raw.alias("raw_text"))
+    return textstats.c4_clean(lined, "doc_id", "raw_text").orderBy(
+        "record_id"
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (normalize.canonical_url): the Common-Crawl
     URL prefilter — scheme/host-case fold, www + default-port strip,
@@ -1054,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "segment_dedup": q_segment_dedup,
         "passage_dedup": q_passage_dedup,
+        "bloom_novelty": q_bloom_novelty,
+        "c4_clean": q_c4_clean,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "repetition_stats": q_repetition_stats,
@@ -2243,6 +2310,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w.words) - coalesce(a.n_kept, 0) AS INT)
                      AS n_removed
             FROM w LEFT JOIN agg a USING (doc_id) ORDER BY record_id
+        """,
+        "bloom_novelty": """
+            WITH batch AS (
+              SELECT doc_id + 20000000 AS record_id, text
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 30000000 AS record_id, text || ' NOVEL'
+              FROM documents WHERE doc_id % 7 = 3
+            )
+            SELECT b.record_id FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents h
+              WHERE h.text IS NOT DISTINCT FROM b.text)
+            ORDER BY record_id
+        """,
+        "c4_clean": r"""
+            WITH base AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+              FROM documents),
+            chunk AS (
+              SELECT doc_id, words,
+                     greatest(CAST(ceil(len(words) / 6.0) AS BIGINT), 1)
+                       AS nc
+              FROM base),
+            -- mirror q_c4_clean's planted lines: javascript prefix on
+            -- every 7th, '.' on 2 of 3, 6-word slices
+            lns AS (
+              SELECT doc_id, list_transform(
+                       generate_series(0, nc - 1),
+                       i -> (CASE WHEN i % 7 = 0 THEN 'javascript '
+                                  ELSE '' END)
+                            || array_to_string(
+                                 words[i*6+1 : i*6+6], ' ')
+                            || (CASE WHEN i % 3 <> 0 THEN '.'
+                                     ELSE '' END)) AS lines
+              FROM chunk),
+            raw AS (
+              SELECT doc_id,
+                     array_to_string(lines, chr(10))
+                     || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                          'lorem ipsum dolor sit amet consectetur.'
+                          ELSE '' END)
+                     || (CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                          'the config { block } is here now.'
+                          ELSE '' END) AS t
+              FROM lns),
+            -- textstats.c4_clean mirror: line filter, rebuild, gates
+            k AS (
+              SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+                     list_filter(string_split(t, chr(10)), l ->
+                       trim(l) <> ''
+                       AND regexp_matches(trim(l), '[.!?"]$')
+                       AND len(string_split_regex(trim(l), '\s+')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM raw),
+            fin AS (
+              -- coalesce: DuckDB array_to_string([]) is NULL where
+              -- Spark array_join([]) is ''
+              SELECT doc_id AS record_id,
+                     coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                     CAST(len(lines) AS INT) AS n_lines,
+                     CAST(len(kept) AS INT) AS n_kept,
+                     CAST(len(regexp_extract_all(
+                       coalesce(array_to_string(kept, chr(10)), ''),
+                       '[.!?]')) AS INT) AS n_sentences,
+                     t
+              FROM k)
+            SELECT record_id, clean_text, n_lines, n_kept, n_sentences,
+                   NOT (contains(lower(t), 'lorem ipsum')
+                        OR contains(t, '{')
+                        OR regexp_matches(lower(t),
+                             '\b(?:porn|xxx|nsfw)\b')
+                        OR n_sentences < 3) AS keep_doc
+            FROM fin ORDER BY record_id
         """,
         "decontaminate": r"""
             -- regexp split (\s+) to mirror keygen.word_ngrams exactly:

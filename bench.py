@@ -36,6 +36,8 @@ HEADLINE = [
     "segment_dedup",
     "passage_dedup",
     "clean_corpus",
+    "c4_clean",
+    "bloom_novelty",
     "exact_dedup_clusters",
     "fingerprint_clusters",
     "blocking_first_token_pairs",

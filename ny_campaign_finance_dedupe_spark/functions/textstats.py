@@ -339,3 +339,77 @@ def repetition_stats(df, id_col: str, text_col: str):
             )
 
     return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+
+
+# --- C4-style corpus cleaning (Raffel et al. 2020, JMLR 21(140) §2.2) ---
+
+#: Representative stand-in for C4's public bad-word blocklist (the full
+#: "List of Dirty, Naughty, Obscene..." is hundreds of entries; shipping
+#: three mild markers keeps the filter's plan shape and word-boundary
+#: semantics identical while the real deployment swaps in the full list
+#: via the parameter).
+C4_BAD_WORDS = ["porn", "xxx", "nsfw"]
+
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4's line filter: keep a line iff it ends in terminal punctuation
+    (period / ! / ? / closing quote), has >= 5 whitespace words, and
+    does not mention javascript (case-insensitive). Pure Catalyst — runs
+    inside the scan's codegen stage."""
+    t = F.trim(line)
+    words = F.size(F.split(t, r"\s+"))
+    return (
+        (t != "")
+        & t.rlike(C4_TERMINAL_RE)
+        & (words >= 5)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_clean(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_sentences: int = 3,
+    bad_words: list[str] | None = None,
+):
+    """C4 cleaning as one narrow projection: line-filter each document,
+    rebuild the kept text, and flag documents that fail the doc-level
+    gates (>= min_sentences terminal punctuation marks in the kept text,
+    no 'lorem ipsum', no curly brace, no blocklist word). Returns every
+    input row — (record_id, clean_text, n_lines, n_kept, n_sentences,
+    keep_doc) — so the caller chooses between auditing the drops and
+    filtering on ``keep_doc``.
+
+    Scale shape: ZERO shuffle — split / higher-order filter / array_join
+    / regexp counts all evaluate inside the scan projection, so the
+    operator is scan-speed at any corpus size and the plan is one
+    WholeStageCodegen span over the parquet read. Every predicate is an
+    integer count or anchored regex: the DuckDB oracle reproduces the
+    output bit-for-bit (no float math anywhere).
+    """
+    bw = C4_BAD_WORDS if bad_words is None else bad_words
+    raw = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    lines = F.split(raw, "\n")
+    kept = F.filter(lines, c4_line_keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), F.lit(0)))
+    low = F.lower(raw)
+    bad_re = r"\b(?:" + "|".join(bw) + r")\b"
+    drop_doc = (
+        low.contains("lorem ipsum")
+        | raw.contains("{")
+        | low.rlike(bad_re)
+        | (n_sent < min_sentences)
+    )
+    return df.select(
+        F.col(id_col).alias("record_id"),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        (~drop_doc).alias("keep_doc"),
+    )
