@@ -693,6 +693,23 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("record_id")
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained unigram LM quality score (textstats.lm_score; the
+    CCNet LM-filter shape, Wenzek et al. 2019): fit token counts in one
+    map-side-combining agg + bounded top-V (V=20 here so OOV tokens
+    exist in the fixture), broadcast the model, score every doc in one
+    Arrow kernel with zero corpus shuffle. The gate exposes the
+    oracle-exact columns (integer counts + single-divide known_frac);
+    the float avg_logprob is pinned by pytest against an independent
+    scalar computation (the fast/portable-family split)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.lm_score(docs, "doc_id", "text", vocab_size=20)
+        .select("record_id", "n_tok", "n_oov", "known_frac")
+        .orderBy("record_id")
+    )
+
+
 def q_bloom_novelty(spark, sf_dir):
     """Bloom-prefiltered incremental dedup (operators/bloom.py): an
     ingest batch — planted as 1/7 true duplicates of history under new
@@ -1120,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "passage_dedup": q_passage_dedup,
         "bloom_novelty": q_bloom_novelty,
+        "lm_score": q_lm_score,
         "c4_clean": q_c4_clean,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
@@ -2310,6 +2328,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w.words) - coalesce(a.n_kept, 0) AS INT)
                      AS n_removed
             FROM w LEFT JOIN agg a USING (doc_id) ORDER BY record_id
+        """,
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL),
+            cnts AS (SELECT token, COUNT(*) AS cnt FROM toks
+                     GROUP BY token),
+            -- mirror unigram_vocab's deterministic tie-break
+            vocab AS (SELECT token FROM cnts
+                      ORDER BY cnt DESC, token ASC LIMIT 20),
+            per AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(COUNT(*) FILTER (WHERE v.token IS NULL)
+                          AS BIGINT) AS n_oov
+              FROM toks t LEFT JOIN vocab v USING (token)
+              GROUP BY t.doc_id)
+            SELECT d.doc_id AS record_id, p.n_tok, p.n_oov,
+                   CAST(p.n_tok - p.n_oov AS DOUBLE) / p.n_tok
+                     AS known_frac
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+            ORDER BY record_id
         """,
         "bloom_novelty": """
             WITH batch AS (

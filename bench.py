@@ -50,6 +50,7 @@ HEADLINE = [
     "repetition_stats",
     "quality_score",
     "lang_id",
+    "lm_score",
     "pricing_summary",
     "top_entities",
     "window_topk_per_user",

@@ -413,3 +413,109 @@ def c4_clean(
         n_sent.alias("n_sentences"),
         (~drop_doc).alias("keep_doc"),
     )
+
+
+# --- corpus-trained unigram LM quality score (CCNet-style filtering) ---
+
+
+def unigram_vocab(df, text_col: str, vocab_size: int = 50_000):
+    """Top-``vocab_size`` whitespace tokens by corpus frequency, ties
+    broken lexicographically (deterministic at any parallelism), plus
+    the TOTAL corpus token count. The groupBy(token) is map-side
+    combining and vocab-sized; the top-V compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge, bounded by
+    V — never a global sort). Returns (vocab_df(token, cnt), total)."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col).cast("string"), " ")).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("t")
+    ).collect()[0]["t"]
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(
+        int(vocab_size)
+    )
+    return vocab, int(total or 0)
+
+
+def lm_score(df, id_col: str, text_col: str, vocab_size: int = 50_000):
+    """Per-document unigram-LM familiarity score against the corpus's
+    own token distribution — the shape of CCNet's LM quality filter
+    (Wenzek et al. 2019: score each page under a reference LM, keep the
+    head of the distribution), with the corpus itself as the reference
+    (a 100 TB pipeline fits the reference once, broadcasts it, and
+    scores at scan speed).
+
+    Two stages: ``unigram_vocab`` (one vocab-sized map-side-combining
+    agg + bounded top-V) fits the model; scoring broadcasts the
+    {token: count} dict (V entries — MBs at V=50k, the explicit bound)
+    into ONE Arrow kernel, so the corpus never shuffles for scoring.
+
+    Output per doc: (record_id, n_tok, n_oov, known_frac, avg_logprob)
+    where avg_logprob = mean over tokens of ln((cnt+1)/(total+V+1)) with
+    add-one smoothing and every OOV token priced at ln(1/(total+V+1)).
+    NULL text propagates NULL stats (repetition_stats convention).
+    Integer counts and the single-divide known_frac are oracle-exact;
+    avg_logprob is a float accumulation (pinned by pytest against an
+    independent scalar computation, the fast/portable-family split).
+    """
+    import math
+
+    import pandas as pd
+
+    vocab, total = unigram_vocab(df, text_col, vocab_size)
+    lut = {r["token"]: r["cnt"] for r in vocab.collect()}
+    denom = float(total + len(lut) + 1)
+    oov_lp = math.log(1.0 / denom)
+    bc = df.sparkSession.sparkContext.broadcast((lut, denom, oov_lp))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"record_id {id_type}, n_tok long, n_oov long,"
+        f" known_frac double, avg_logprob double"
+    )
+
+    def batch(it):
+        lut_, denom_, oov_ = bc.value
+        log = math.log
+        for pdf in it:
+            out = {
+                "record_id": pdf[id_col],
+                "n_tok": [],
+                "n_oov": [],
+                "known_frac": [],
+                "avg_logprob": [],
+            }
+            for t in pdf[text_col]:
+                if t is None:
+                    for k in ("n_tok", "n_oov", "known_frac", "avg_logprob"):
+                        out[k].append(None)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                oov = 0
+                lp = 0.0
+                for tok in toks:
+                    c = lut_.get(tok)
+                    if c is None:
+                        oov += 1
+                        lp += oov_
+                    else:
+                        lp += log((c + 1) / denom_)
+                out["n_tok"].append(n)
+                out["n_oov"].append(oov)
+                out["known_frac"].append((n - oov) / n)
+                out["avg_logprob"].append(lp / n)
+            yield pd.DataFrame(
+                {
+                    "record_id": out["record_id"],
+                    "n_tok": pd.array(out["n_tok"], dtype="Int64"),
+                    "n_oov": pd.array(out["n_oov"], dtype="Int64"),
+                    "known_frac": out["known_frac"],
+                    "avg_logprob": out["avg_logprob"],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)

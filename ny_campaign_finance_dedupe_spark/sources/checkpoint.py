@@ -118,6 +118,103 @@ class ParquetFormat(TableFormat):
         ]
 
 
+def _safe_run_ident(run_id: str) -> str:
+    """Fold a caller-supplied run_id to identifier-safe chars, keeping
+    the mapping injective via a content-hash suffix ('exp-1' and 'exp.1'
+    must not overwrite each other's catalog tables while their meta.json
+    resume state stays separate)."""
+    safe = "".join(
+        c if (c.isascii() and c.isalnum()) else "_" for c in run_id
+    )
+    if safe != run_id:
+        import hashlib
+
+        safe += "_" + hashlib.md5(run_id.encode()).hexdigest()[:6]
+    return safe
+
+
+class BucketedParquetFormat(TableFormat):
+    """Catalog-registered parquet with hash bucketing — the co-located
+    join layout. A stage written bucketed on its join key reads back
+    pre-partitioned: every later equi-join or groupBy on that key
+    between same-bucketed tables runs WITHOUT an Exchange (asserted by
+    test_bucketed_join_has_no_exchange). At 10^12 rows this removes the
+    single biggest cost of the resume path — re-shuffling the
+    signatures/pairs checkpoints on url for every downstream join the
+    pipeline performs (J2 hydration, entity-map joins).
+
+    Bucketing metadata only flows through the session catalog, so
+    ``target`` is a TABLE IDENTIFIER (like Iceberg), the data files are
+    parked under the checkpoint root via the external-table ``path``
+    option, and reads go through ``spark.read.table``. The store must
+    not re-spread the scan (``preserves_layout``): a repartition would
+    throw the co-location away.
+
+    Sandbox stand-in note: on a real cluster the same property comes
+    from Iceberg's bucket partition transform (write.distribution-mode +
+    bucket(N, key)) — this class demonstrates the plan-level effect with
+    the machinery pyspark ships in-box.
+    """
+
+    name = "bucketed_parquet"
+    preserves_layout = True
+
+    def __init__(
+        self,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ):
+        if not bucket_cols:
+            raise ValueError("BucketedParquetFormat: bucket_cols required")
+        self.bucket_cols = list(bucket_cols)
+        self.n_buckets = int(n_buckets)
+        # sorted-within-bucket gives merge-join-ready runs for free
+        self.sort_cols = list(sort_cols or bucket_cols)
+        self._paths = {}  # ident -> filesystem path, filled by target()
+
+    def target(self, root: str, run_id: str, stage: str) -> str:
+        ident = f"nycfd_ckpt_r{_safe_run_ident(run_id)}_{stage}"
+        # EXTERNAL table: the catalog entry carries the bucket spec, the
+        # data files live under the checkpoint root like every other
+        # format (a managed table would park them in spark-warehouse,
+        # where a stale directory from a previous session makes
+        # saveAsTable fail on the in-memory catalog)
+        self._paths[ident] = str(Path(root) / run_id / stage / "data")
+        return ident
+
+    def write(self, df: DataFrame, target: str, partition_by=()) -> None:
+        spark = df.sparkSession
+        # overwrite semantics across SESSIONS: the in-memory catalog
+        # forgets tables on restart but the files remain — drop both the
+        # (possibly stale) catalog entry and the old data explicitly
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        path = self._paths.get(target)
+        if path:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.n_buckets, *self.bucket_cols)
+            .sortBy(*self.sort_cols)
+        )
+        if path:
+            w = w.option("path", path)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(target)
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.table(target)
+
+    def file_counts(self, target: str) -> None:
+        # target is a catalog identifier, not a path: let the store fall
+        # back to its narrow spark_partition_id() agg for lineage
+        return None
+
+
 class IcebergFormat(TableFormat):
     """Catalog-backed Iceberg tables. ``target`` is a table identifier
     (``<catalog>.<namespace>.<name>``), not a path; requires a session
@@ -152,13 +249,7 @@ class IcebergFormat(TableFormat):
         the mapping stays injective ('exp-1' and 'exp.1' must not
         createOrReplace each other's tables while their meta.json resume
         state stays separate)."""
-        safe = "".join(
-            c if (c.isascii() and c.isalnum()) else "_" for c in run_id
-        )
-        if safe != run_id:
-            import hashlib
-
-            safe += "_" + hashlib.md5(run_id.encode()).hexdigest()[:6]
+        safe = _safe_run_ident(run_id)
         return f"{self.catalog}.{self.namespace}.r{safe}_{stage}"
 
     def write(self, df: DataFrame, target: str, partition_by=()) -> None:
@@ -210,7 +301,15 @@ class CheckpointStore:
         return saved.get("params") == _canon(params)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return _spread(self.fmt.read(spark, self._data_path(stage)))
+        return self._respread(self.fmt.read(spark, self._data_path(stage)))
+
+    def _respread(self, df: DataFrame) -> DataFrame:
+        # a layout-preserving format (bucketed, Iceberg-bucket-transform)
+        # reads back CO-LOCATED; _spread's repartition would throw that
+        # away for a toy-scale core-count win
+        if getattr(self.fmt, "preserves_layout", False):
+            return df
+        return _spread(df)
 
     def write(
         self,
@@ -228,7 +327,7 @@ class CheckpointStore:
             df, self._data_path(stage), self.partition_by.get(stage, ())
         )
         wall = time.time() - t0
-        out = _spread(self.fmt.read(spark, self._data_path(stage)))
+        out = self._respread(self.fmt.read(spark, self._data_path(stage)))
         counts = getattr(self.fmt, "file_counts", lambda _t: None)(
             self._data_path(stage)
         )

@@ -107,3 +107,106 @@ def start_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_ingest_dedup_with_counts(
+    spark,
+    stream_source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    pages_schema,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 3_600_000,
+):
+    """Custom stateful ingest dedup with suppression lineage — the
+    operator ``dropDuplicatesWithinWatermark`` cannot express: admitted
+    pages AND an audit row per (key, batch) counting the re-crawls that
+    were suppressed, with running ``total_seen``. A 100 TB/day crawl
+    needs those counts (re-crawl rate per content key is the crawl
+    scheduler's feedback signal); the built-in drops silently.
+
+    Implementation: ``applyInPandasWithState`` over the content key.
+    State is (first_url, n_seen); event-time timeout clears a key
+    ``state_ttl_ms`` past its latest observed event time (bounding state
+    exactly like the watermark does for the built-in — re-crawls after
+    the horizon are re-admitted by design). Emitted rows (append mode,
+    parquet sink):
+
+      (exact_key, url, admitted, dups_in_batch, total_seen)
+
+    - first batch containing a key: admitted=True, url = the winner
+      (min (warc_ts, url) — deterministic at any partitioning),
+      dups_in_batch = extra copies in that same batch;
+    - later batches: admitted=False audit row, dups_in_batch = suppressed
+      copies, total_seen = running count — the suppression lineage.
+
+    State store scale shape matches the built-in: keyed by the 64-hex
+    content hash, one shuffle per micro-batch, no driver state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .parquet(stream_source_dir)
+        .withWatermark("warc_ts", watermark)
+    )
+    keyed = with_content_key(stream).select("exact_key", "url", "warc_ts")
+
+    out_type = (
+        "exact_key string, url string, admitted boolean,"
+        " dups_in_batch long, total_seen long"
+    )
+    state_type = "first_url string, n_seen long"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["warc_ts", "url"])
+        n_new = len(rows)
+        if state.exists:
+            first_url, n_seen = state.get
+            admitted = False
+            dups = n_new
+            total = n_seen + n_new
+        else:
+            first_url = rows["url"].iloc[0]
+            admitted = True
+            dups = n_new - 1
+            total = n_new
+        state.update((first_url, total))
+        # event-time TTL: latest event in this group + ttl, floored just
+        # past the current watermark (setTimeoutTimestamp must be ahead
+        # of it)
+        wm = state.getCurrentWatermarkMs()
+        ts = rows["warc_ts"].max()
+        ts_ms = int(ts.timestamp() * 1000) if pd.notna(ts) else wm
+        state.setTimeoutTimestamp(max(ts_ms, wm + 1) + state_ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "exact_key": key[0],
+                    "url": first_url,
+                    "admitted": admitted,
+                    "dups_in_batch": dups,
+                    "total_seen": total,
+                }
+            ]
+        )
+
+    audited = keyed.groupBy("exact_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        audited.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

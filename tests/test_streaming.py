@@ -170,3 +170,72 @@ def test_ingest_key_matches_batch_exact_key(spark):
         .collect()
     }
     assert batch == stream and len(batch) == 4
+
+
+def test_stateful_ingest_dedup_with_counts(spark, tmp_path):
+    """applyInPandasWithState custom operator: admitted rows carry the
+    deterministic winner and within-batch dup count; later batches emit
+    admitted=False audit rows with running total_seen; state survives a
+    query restart via the checkpoint — the suppression lineage
+    dropDuplicatesWithinWatermark cannot report."""
+    import datetime
+
+    from ny_campaign_finance_dedupe_spark.streaming import ingest
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0)
+    src = str(tmp_path / "st_src")
+    out = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    b1 = spark.createDataFrame(
+        [
+            ("https://a.com/1", t0, None, "page one body text", "en"),
+            # mirror: same content in the SAME batch
+            ("https://b.com/1", t0, None, "page one body text", "en"),
+            ("https://a.com/2", t0, None, "page two body text", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b1.write.parquet(src)
+    q = ingest.start_ingest_dedup_with_counts(
+        spark, src, out, ckpt, PAGES_SCHEMA
+    )
+    q.awaitTermination(120)
+    got1 = {
+        (r["url"], r["admitted"], r["dups_in_batch"], r["total_seen"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        # winner = min (warc_ts, url): a.com sorts before b.com
+        ("https://a.com/1", True, 1, 2),
+        ("https://a.com/2", True, 0, 1),
+    }
+    # tick 2 (restart against the same checkpoint): two re-crawls of
+    # page one + one new page
+    t1 = t0 + datetime.timedelta(minutes=10)
+    b2 = spark.createDataFrame(
+        [
+            ("https://a.com/1?r1", t1, None, "page one body text", "en"),
+            ("https://a.com/1?r2", t1, None, "page one body text", "en"),
+            ("https://a.com/3", t1, None, "page three body text", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = ingest.start_ingest_dedup_with_counts(
+        spark, src, out, ckpt, PAGES_SCHEMA
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    audit = [r for r in rows if not r["admitted"]]
+    assert len(audit) == 1
+    # restored state: first_url remembered, counts accumulate 2 + 2
+    assert audit[0]["url"] == "https://a.com/1"
+    assert audit[0]["dups_in_batch"] == 2
+    assert audit[0]["total_seen"] == 4
+    admitted = {r["url"] for r in rows if r["admitted"]}
+    assert admitted == {
+        "https://a.com/1",
+        "https://a.com/2",
+        "https://a.com/3",
+    }
