@@ -37,6 +37,7 @@ from ny_campaign_finance_dedupe_spark.operators import (  # noqa: E402
     clustering,
     dedup,
     linkage,
+    packing,
     pairs as pairs_ops,
     refine,
     sampling,
@@ -548,6 +549,21 @@ def q_shard_counts(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
         .orderBy("shard")
     )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-length sequence packing (operators/packing.py): the
+    GPT-style concat-and-chunk layout — documents laid out per
+    deterministic shard in portable-hash order into a token stream cut
+    every 64 tokens (small so spanning docs exist in the fixture); each
+    doc gets (shard, seq_start, tok_offset, n_seqs). Shard AND order are
+    pure functions of (salt, id), so the oracle recomputes the entire
+    layout from md5 + one window cumsum — bit-identical, including
+    integer DIV/% (no float floor drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, "doc_id", "text", seq_len=64, n_shards=8
+    ).orderBy("record_id")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -1146,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "shard_counts": q_shard_counts,
+        "pack_sequences": q_pack_sequences,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -2200,6 +2217,33 @@ def oracle_sql() -> dict[str, str]:
                        % 16 AS INTEGER) AS shard
               FROM documents)
             GROUP BY shard ORDER BY shard
+        """,
+        "pack_sequences": f"""
+            WITH base AS (
+              SELECT doc_id AS record_id,
+                     CAST({portable.sql_hash60(
+                         "concat('pack-shard:', CAST(doc_id AS VARCHAR))")}
+                       % 8 AS INTEGER) AS shard,
+                     {portable.sql_hash60(
+                         "concat('pack-order:', CAST(doc_id AS VARCHAR))")}
+                       AS h,
+                     CASE WHEN text IS NULL THEN 0
+                          ELSE len(string_split(text, ' ')) END AS n_tok
+              FROM documents),
+            cum AS (
+              SELECT record_id, shard, n_tok,
+                     CAST(SUM(n_tok) OVER (
+                         PARTITION BY shard ORDER BY h, record_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tok AS BIGINT) AS c
+              FROM base)
+            SELECT record_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(c // 64 AS BIGINT) AS seq_start,
+                   CAST(c % 64 AS BIGINT) AS tok_offset,
+                   CAST(CASE WHEN n_tok = 0 THEN 0
+                        ELSE (c + n_tok - 1) // 64 - c // 64 + 1 END
+                     AS BIGINT) AS n_seqs
+            FROM cum ORDER BY record_id
         """,
         "repetition_stats": r"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks

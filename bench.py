@@ -51,6 +51,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "lm_score",
+    "pack_sequences",
     "pricing_summary",
     "top_entities",
     "window_topk_per_user",
