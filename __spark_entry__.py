@@ -39,6 +39,7 @@ from ny_campaign_finance_dedupe_spark.operators import (  # noqa: E402
     linkage,
     packing,
     pairs as pairs_ops,
+    quality,
     refine,
     sampling,
 )
@@ -563,6 +564,22 @@ def q_pack_sequences(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return packing.pack_sequences(
         docs, "doc_id", "text", seq_len=64, n_shards=8
+    ).orderBy("record_id")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """FastText-style hashed n-gram classifier inference
+    (operators/quality.py): token+bigram features portable-hashed into
+    512 buckets (native md5, zero UDF), weighted under the
+    oracle-checkable pseudo_weights family, per-doc logit as an exact
+    BIGINT milli-sum + ONE float divide. The gate value-checks the
+    whole serving kernel — hashing, bucket weighting, feature-mean
+    normalization; trained models broadcast through the identical join
+    and are pinned by test_quality_classifier's held-out-accuracy
+    fit."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.score_text_classifier(
+        docs, "doc_id", "text", model=None, n_buckets=512
     ).orderBy("record_id")
 
 
@@ -1163,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "shard_counts": q_shard_counts,
         "pack_sequences": q_pack_sequences,
+        "quality_classifier": q_quality_classifier,
         "er_pipeline": q_er_pipeline,
         "canonical_centroid": q_canonical_centroid,
         "gazetteer_topk": q_gazetteer_topk,
@@ -2244,6 +2262,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (c + n_tok - 1) // 64 - c // 64 + 1 END
                      AS BIGINT) AS n_seqs
             FROM cum ORDER BY record_id
+        """,
+        "quality_classifier": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            uni AS (SELECT doc_id, UNNEST(list_transform(toks,
+                      t -> {portable.sql_hash60("concat('ft1:', t)")}
+                             % 512)) AS bucket
+                    FROM w),
+            bi AS (SELECT doc_id, UNNEST(list_transform(
+                     generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> {portable.sql_hash60(
+                         "concat('ft2:', toks[i], ' ', toks[i+1])")}
+                            % 512)) AS bucket
+                   FROM w),
+            f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            agg AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_feat,
+                           CAST(SUM((bucket * 2654435761) % 1001 - 500)
+                             AS BIGINT) AS s
+                    FROM f GROUP BY doc_id)
+            SELECT d.doc_id AS record_id,
+                   coalesce(a.n_feat, 0) AS n_feat,
+                   a.s AS logit_milli,
+                   a.s / (a.n_feat * 1000.0) AS score
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY record_id
         """,
         "repetition_stats": r"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks

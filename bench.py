@@ -52,6 +52,7 @@ HEADLINE = [
     "lang_id",
     "lm_score",
     "pack_sequences",
+    "quality_classifier",
     "pricing_summary",
     "top_entities",
     "window_topk_per_user",
@@ -83,6 +84,15 @@ def _fast_winnow(spark, sf_dir):
     return dedup.winnow_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5,
         df_cap=dedup.default_df_cap(docs.count()), family="fast",
+    )
+
+
+def _fast_quality(spark, sf_dir):
+    from ny_campaign_finance_dedupe_spark.operators import quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality.score_text_classifier(
+        docs, "doc_id", "text", model=None, n_buckets=512, family="fast"
     )
 
 
@@ -136,6 +146,7 @@ BENCH_VARIANT = {
     "winnow_neardup": _fast_winnow,
     "minhash_dedup": _fast_minhash,
     "simhash_dedup": _fast_simhash,
+    "quality_classifier": _fast_quality,
     "lsh_ann_topk": _fast_lsh_ann,
     "ivf_ann_topk": _fast_ivf_ann,
     "semantic_dedup": _fast_semantic,
