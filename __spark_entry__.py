@@ -1138,6 +1138,65 @@ def q_er_pipeline(spark, sf_dir):
     return em.select("record_id", "cluster_id").orderBy("record_id")
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Overlap-ratio benchmark decontamination (dedup.contamination_overlap
+    / decontaminate_fuzzy — the PaLM/Llama-2-style graded rule): per-doc
+    fraction of distinct 8-word grams shared with the pseudo-benchmark
+    (doc_id % 97 == 0 rows), plus the keep/drop verdict at
+    max_overlap=0.3. Same scale shape as decontaminate (broadcast bench
+    hashes, ids+hashes corpus side, one agg); the oracle recomputes the
+    ratio from the gram CTEs. The filter-form operator
+    (decontaminate_fuzzy) is pinned equal to kept=true by
+    tests/test_dedup_ops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    stats = dedup.contamination_overlap(
+        docs, "doc_id", "text", bench, "text", n=8
+    )
+    return stats.select(
+        "record_id",
+        "n_grams",
+        "n_hit",
+        "overlap",
+        (F.col("overlap") <= 0.3).alias("kept"),
+    ).orderBy("record_id")
+
+
+def q_hot_ngrams(spark, sf_dir):
+    """Boilerplate heavy-hitters (dedup.hot_ngrams): top-20 word
+    3-grams by document frequency, (doc_freq DESC, gram ASC) total
+    order. Map-side partial agg collapses hot grams per task;
+    orderBy+limit is TakeOrderedAndProject, not a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.hot_ngrams(docs, "text", n=3, top_k=20)
+
+
+def q_best_of_cluster(spark, sf_dir):
+    """Quality-aware canonical selection (refine.keep_best): cluster by
+    sorted-distinct-token fingerprint (the fingerprint_clusters key),
+    label by min member id, then keep the member with the most raw
+    characters (ties -> lowest id) — the keep-best-copy rule applied
+    after dedup (longest/highest-quality member, not an arbitrary one).
+    Single groupBy with max(struct) — partial agg, no window sort."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.col("n_chars"),
+        textstats.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    labels = fp.groupBy("fp").agg(F.min("record_id").alias("cluster_id"))
+    clustered = fp.join(labels, "fp").select(
+        "cluster_id", "record_id", "n_chars"
+    )
+    best = refine.keep_best(clustered, "cluster_id", "record_id", "n_chars")
+    return best.select(
+        "cluster_id",
+        F.col("record_id").alias("keeper_id"),
+        "n_chars",
+        "members",
+    ).orderBy("cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_clusters": q_exact_dedup_clusters,
@@ -1178,6 +1237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "hot_ngrams": q_hot_ngrams,
+        "best_of_cluster": q_best_of_cluster,
         "shard_counts": q_shard_counts,
         "pack_sequences": q_pack_sequences,
         "quality_classifier": q_quality_classifier,
@@ -2536,6 +2598,82 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
             ORDER BY record_id
+        """,
+        "fuzzy_decontaminate": r"""
+            -- contamination_overlap: per-doc DISTINCT 8-gram overlap
+            -- ratio vs the doc_id % 97 = 0 pseudo-benchmark. Gram CTEs
+            -- mirror keygen.word_ngrams (regexp \s+ split, distinct
+            -- per doc); counts CAST to BIGINT for cross-engine schema.
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(text, '\s+') AS words
+                       FROM documents),
+            g8 AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, UNNEST(list_transform(
+                  generate_series(1, greatest(len(words) - 7, 0)),
+                  i -> array_to_string(words[i:i+7], ' '))) AS gram
+                FROM w)
+            ),
+            bg AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 0),
+            st AS (
+              SELECT g8.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN bg.gram IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM g8 LEFT JOIN bg USING (gram)
+              GROUP BY g8.doc_id
+            )
+            SELECT d.doc_id AS record_id,
+                   COALESCE(st.n_grams, 0) AS n_grams,
+                   COALESCE(st.n_hit, 0) AS n_hit,
+                   CASE WHEN COALESCE(st.n_grams, 0) > 0
+                        THEN CAST(st.n_hit AS DOUBLE) / st.n_grams
+                        ELSE 0.0 END AS overlap,
+                   (CASE WHEN COALESCE(st.n_grams, 0) > 0
+                         THEN CAST(st.n_hit AS DOUBLE) / st.n_grams
+                         ELSE 0.0 END) <= 0.3 AS kept
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+            ORDER BY record_id
+        """,
+        "hot_ngrams": r"""
+            -- dedup.hot_ngrams: document frequency of word 3-grams
+            -- (distinct per doc, mirroring word_ngrams), top-20 by
+            -- (doc_freq DESC, gram ASC) — a total order, deterministic
+            -- at the boundary.
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(text, '\s+') AS words
+                       FROM documents),
+            g3 AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, UNNEST(list_transform(
+                  generate_series(1, greatest(len(words) - 2, 0)),
+                  i -> array_to_string(words[i:i+2], ' '))) AS gram
+                FROM w)
+            )
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM g3
+            GROUP BY gram
+            ORDER BY doc_freq DESC, gram ASC
+            LIMIT 20
+        """,
+        "best_of_cluster": f"""
+            -- refine.keep_best over fingerprint clusters: per cluster
+            -- (min-id label) the member with max n_chars, ties lowest
+            -- id, plus member count.
+            WITH fp AS (SELECT doc_id AS record_id, n_chars,
+                               {_FP} AS f
+                        FROM documents),
+            lab AS (SELECT record_id, n_chars,
+                           MIN(record_id) OVER (PARTITION BY f)
+                             AS cluster_id,
+                           CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT)
+                             AS members,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY f
+                             ORDER BY n_chars DESC, record_id ASC) AS rn
+                    FROM fp)
+            SELECT cluster_id, record_id AS keeper_id, n_chars, members
+            FROM lab WHERE rn = 1 ORDER BY cluster_id
         """,
         "pii_redact": """
             WITH dirty AS (

@@ -38,6 +38,9 @@ HEADLINE = [
     "clean_corpus",
     "c4_clean",
     "bloom_novelty",
+    "fuzzy_decontaminate",
+    "hot_ngrams",
+    "best_of_cluster",
     "exact_dedup_clusters",
     "fingerprint_clusters",
     "blocking_first_token_pairs",

@@ -762,6 +762,135 @@ def decontaminate(
     )
 
 
+def contamination_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document benchmark-overlap RATIO — the graded companion to
+    :func:`decontaminate`'s any-gram rule (the PaLM/Llama-2-style
+    "fraction of the document's n-grams seen in the eval set" metric:
+    one shared boilerplate gram should not nuke a 10k-word page, but a
+    page that is 60% benchmark text must go). Returns one row per input
+    document: (record_id, n_grams, n_hit, overlap) where ``n_grams`` is
+    the count of DISTINCT n-word grams in the doc (word_ngrams is
+    distinct-per-doc by construction), ``n_hit`` how many of those also
+    occur anywhere in ``benchmark``, and ``overlap = n_hit / n_grams``
+    (0.0 for docs too short to form a gram).
+
+    Scale shape: identical to :func:`decontaminate` — the benchmark gram
+    hashes are tiny (eval suites are fixed-size vs a 10^12-doc corpus)
+    and broadcast; the corpus side carries (id, 8-byte gram hash) only,
+    never text; the left join against the broadcast build side does not
+    shuffle it; the single groupBy(id) agg has map-side combine. Docs
+    with zero grams re-enter via one left join from the ids projection
+    (AQE broadcasts the stats side when the corpus is mostly short)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                keygen.word_ngrams(F.col(bench_text_col), n)
+            ).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("bigint"))
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("record_id"),
+        F.explode(keygen.word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select("record_id", F.xxhash64("g").alias("gh"))
+    stats = (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left")
+        .groupBy("record_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("record_id"))
+        .join(stats, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_hit").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_overlap: float = 0.5,
+) -> DataFrame:
+    """Overlap-ratio benchmark decontamination: drop every document
+    whose :func:`contamination_overlap` ratio EXCEEDS ``max_overlap``
+    (strict >, so max_overlap=0.0 reproduces :func:`decontaminate`'s
+    any-gram rule on gram-bearing docs). Returns the surviving rows of
+    ``df`` with all original columns.
+
+    Scale shape: the contaminated-id set (usually a small fraction) is
+    the only new exchange — one left anti join keyed on it; AQE
+    broadcasts it when it fits, and a shuffled anti join is still
+    linear when it does not."""
+    contaminated = (
+        contamination_overlap(
+            df, id_col, text_col, benchmark, bench_text_col, n
+        )
+        .where(F.col("overlap") > max_overlap)
+        .select(F.col("record_id").alias(id_col))
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+def hot_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus heavy-hitters: the ``top_k`` word ``n``-grams by document
+    frequency — the boilerplate-mining / template-discovery pass that
+    feeds stop-gram lists (segment_dedup's df_threshold and the canopy
+    stop-word cap both assume someone has LOOKED at the head of this
+    distribution). Returns (gram, doc_freq) ordered by (doc_freq DESC,
+    gram ASC) — a total order, so ties at the top_k boundary are
+    deterministic.
+
+    Scale shape: word_ngrams is distinct-per-doc, so count(*) per gram
+    IS document frequency — no count-distinct. The groupBy(gram) agg
+    has map-side partial aggregation (hot boilerplate grams collapse to
+    one partial row per task before the exchange, which is exactly the
+    skew story: the hotter the gram, the better the combine ratio), and
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a driver merge of top_k rows per partition, never a
+    global sort."""
+    return (
+        df.select(
+            F.explode(
+                keygen.word_ngrams(F.col(text_col), n)
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
 def passage_windows(
     text: Column, window: int
 ) -> Column:

@@ -230,3 +230,53 @@ def canonicalize_clusters(
         .select("cluster_id", F.col("val").alias("canonical_value"))
     )
     return best.unionByName(singles)
+
+
+def keep_best(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical selection: one row per cluster — the
+    member with the HIGHEST ``score_col`` (ties broken by lowest
+    ``id_col``), plus the cluster's member count. This is the
+    keep-best-of-cluster rule training pipelines apply after dedup
+    (keep the longest / highest-quality copy of a near-dup family, not
+    the arbitrary min-id one — Gopher/FineWeb-style), generalizing the
+    reference's min-id representative (init_postgres_db.py:110-113) to
+    an arbitrary quality ordering.
+
+    Returns (``cluster_col``, ``id_col``, ``score_col``, members).
+
+    Scale shape: a single groupBy(cluster) with ``max(struct(score,
+    -id, id))`` — partial aggregation collapses each map task to one
+    candidate row per cluster BEFORE the exchange, so a mega-cluster
+    (the skew case dedup always produces: boilerplate families) costs
+    one row per task, unlike the row_number-window formulation, which
+    must shuffle and SORT every member of every cluster to rank them.
+    The struct comparison is lexicographic, so max == (max score, then
+    min id); id uniqueness makes it total. Only (cluster, score, id)
+    transit the shuffle — hydrate payload columns by joining the result
+    back on ``id_col`` if needed (J2)."""
+    neg = (-F.col(id_col)).alias("_negid")
+    best = (
+        df.groupBy(F.col(cluster_col))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("_s"),
+                    neg,
+                    F.col(id_col).alias("_id"),
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).cast("bigint").alias("members"),
+        )
+        .select(
+            cluster_col,
+            F.col("_b._id").alias(id_col),
+            F.col("_b._s").alias(score_col),
+            "members",
+        )
+    )
+    return best

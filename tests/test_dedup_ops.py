@@ -887,3 +887,74 @@ def test_passage_dedup_no_pair_explosion(spark):
     assert len(res) == 301
     removed = {r["record_id"]: r["n_removed"] for r in res}
     assert removed[0] == 8 and removed[1000] == 0
+
+
+def test_contamination_overlap_ratios(spark):
+    """Hand-computable overlap ratios at n=2: doc 1 is the benchmark;
+    doc 2 shares exactly half its distinct 2-grams; doc 3 shares none;
+    doc 4 is too short to form a gram (ratio 0, still present)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),             # grams {a b, b c}
+            (2, "a b x y"),           # grams {a b, b x, x y} -> 1/3 hit
+            (3, "p q r"),             # {p q, q r} -> 0 hits
+            (4, "solo"),              # no 2-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["record_id"]: (r["n_grams"], r["n_hit"], r["overlap"])
+        for r in dedup.contamination_overlap(
+            docs, "doc_id", "text", bench, "text", n=2
+        ).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (3, 1, 1 / 3)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_decontaminate_fuzzy_threshold_is_strict(spark):
+    """decontaminate_fuzzy drops only ratios STRICTLY above
+    max_overlap; a doc exactly at the threshold survives, and the
+    gram-less doc always survives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # benchmark row: ratio 1.0 -> dropped
+            (2, "a b z w"),        # {a b, b z, z w}: 1/3 <= 1/3 -> kept
+            (3, "a b b c c d x"),  # {a b, b b, b c, c c, c d, d x}:
+                                   # hits {a b, b c, c d} = 3/6 > 1/3
+            (4, "q"),              # no grams -> kept
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 1)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminate_fuzzy(
+            docs, "doc_id", "text", bench, "text", n=2, max_overlap=1 / 3
+        ).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_hot_ngrams_doc_frequency_not_term_frequency(spark):
+    """A gram repeated INSIDE one doc counts once (word_ngrams is
+    distinct-per-doc): doc frequency ranks 'x y' (2 docs) above
+    'a a' (1 doc, 3 occurrences); ties break gram-ascending."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 'a a' x3 within one doc
+            (2, "x y"),
+            (3, "x y"),
+            (4, "m n"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.hot_ngrams(docs, "text", n=2, top_k=3).collect()
+    assert [(r["gram"], r["doc_freq"]) for r in rows] == [
+        ("x y", 2),
+        ("a a", 1),
+        ("m n", 1),
+    ]

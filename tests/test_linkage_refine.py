@@ -266,3 +266,30 @@ def test_branch_bound_respects_recall_and_call_budget(spark):
         cover, costs, recall=1.0, max_calls=0
     )
     assert set(bb0) == {"A", "B"}
+
+
+def test_keep_best_max_score_min_id_ties(spark):
+    """keep_best: highest score wins; exact ties go to the LOWEST id;
+    singletons pass through; member counts are exact."""
+    from ny_campaign_finance_dedupe_spark.operators import refine
+
+    df = spark.createDataFrame(
+        [
+            (10, 1, 5.0),
+            (10, 2, 9.0),   # winner: max score
+            (10, 3, 9.0),   # same score, higher id -> loses
+            (20, 7, 1.0),   # singleton
+            (30, 9, -2.0),
+            (30, 8, -2.0),  # tie at -2.0 -> id 8 wins
+        ],
+        "cluster_id long, record_id long, score double",
+    )
+    out = {
+        r["cluster_id"]: (r["record_id"], r["score"], r["members"])
+        for r in refine.keep_best(
+            df, "cluster_id", "record_id", "score"
+        ).collect()
+    }
+    assert out[10] == (2, 9.0, 3)
+    assert out[20] == (7, 1.0, 1)
+    assert out[30] == (8, -2.0, 2)
