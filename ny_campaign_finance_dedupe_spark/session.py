@@ -43,6 +43,21 @@ def scratch_dir() -> str:
     return tempfile.gettempdir()
 
 
+def _resolve_master(master: str | None, environ) -> str | None:
+    """Master to pass to the builder, or None to leave it alone.
+
+    Under spark-submit the python driver attaches to an already-running
+    JVM gateway whose spark.master came from the submit command
+    (PythonRunner exports PYSPARK_GATEWAY_PORT); an explicit .master()
+    there would OVERRIDE the submitted cluster topology with local[*].
+    Only default the master when this process owns session creation."""
+    if master is not None:
+        return master
+    if "PYSPARK_GATEWAY_PORT" in environ:
+        return None
+    return f"local[{environ.get('SPARK_GRAFT_CPUS', '*')}]"
+
+
 def get_spark(
     app_name: str = "nycfd-spark",
     master: str | None = None,
@@ -54,12 +69,9 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on
     a real cluster it is left to spark-submit.
     """
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+    master = _resolve_master(master, os.environ)
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -96,6 +108,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -274,3 +274,24 @@ def test_checkpoint_resume_with_partitioned_stage(spark, tmp_path):
     assert store.has("extract", params)
     assert not store.has("extract", {"v": 2})
     assert store.read(spark, "extract").count() == n0
+
+
+def test_resolve_master_defers_to_spark_submit():
+    """session._resolve_master: defaults local[$SPARK_GRAFT_CPUS] when
+    this process owns session creation, but returns None (leave the
+    builder alone) under a spark-submit-owned gateway — an explicit
+    .master() there would override the submitted cluster topology
+    (verified live: spark-submit --master local-cluster[2,1,2048]
+    granted 2x1-core executors through StandaloneSchedulerBackend)."""
+    from ny_campaign_finance_dedupe_spark.session import _resolve_master
+
+    assert _resolve_master("local[4]", {}) == "local[4]"
+    assert _resolve_master(None, {"SPARK_GRAFT_CPUS": "8"}) == "local[8]"
+    assert _resolve_master(None, {}) == "local[*]"
+    assert _resolve_master(None, {"PYSPARK_GATEWAY_PORT": "51234"}) is None
+    # explicit master wins even under a gateway (tools that intentionally
+    # build local-cluster sessions from plain python)
+    assert (
+        _resolve_master("local-cluster[2,1,2048]", {"PYSPARK_GATEWAY_PORT": "1"})
+        == "local-cluster[2,1,2048]"
+    )
