@@ -295,3 +295,35 @@ def test_resolve_master_defers_to_spark_submit():
         _resolve_master("local-cluster[2,1,2048]", {"PYSPARK_GATEWAY_PORT": "1"})
         == "local-cluster[2,1,2048]"
     )
+
+
+def test_entity_map_identical_across_topologies(spark, tmp_path):
+    """The pipeline's entity map must be CONTENT-identical between a
+    threads-in-one-JVM run and a genuine multi-executor-JVM run (real
+    RPC + Netty shuffle) — no hidden single-JVM assumption. Both
+    topologies run in subprocesses via the scaling tools' --worker mode
+    (a second SparkContext cannot coexist with the fixture session) and
+    the order-insensitive cluster-assignment hash is compared."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(tool, extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "tools", tool),
+             "--worker", "--pages", "2000", "--seed", "11", *extra],
+            capture_output=True, text=True, timeout=420,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        assert out.returncode == 0 and line.startswith("{"), out.stderr[-2000:]
+        return json.loads(line)
+
+    threads = run("scaling_bench.py", ["--cores", "2"])
+    cluster = run(
+        "cluster_scaling_bench.py", ["--execs", "2", "--exec-mem-mb", "1024"]
+    )
+    assert threads["entity_map_rows"] == cluster["entity_map_rows"] == 2000
+    assert threads["entity_map_hash"] == cluster["entity_map_hash"]

@@ -89,6 +89,18 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     rows = em.count()
     secs = time.perf_counter() - t0
+    # content equivalence across topologies (order-insensitive; see
+    # tools/scaling_bench.py — float cluster_score excluded on purpose)
+    import pyspark.sql.functions as F
+
+    em_hash = str(
+        em.select(
+            # ANSI mode: a long SUM overflows; accumulate in decimal(38,0)
+            F.sum(
+                F.xxhash64("record_id", "cluster_id").cast("decimal(38,0)")
+            ).alias("h")
+        ).collect()[0]["h"]
+    )
     stage_walls = {}
     for st in ("extract", "signatures", "block", "pairs", "score", "cluster"):
         mp = store._meta_path(st)
@@ -105,6 +117,7 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
                 "secs": round(secs, 2),
                 "pages_per_sec": round(pages_n / secs, 1),
                 "entity_map_rows": rows,
+                "entity_map_hash": em_hash,
                 "stage_walls": stage_walls,
             }
         )
@@ -175,6 +188,9 @@ def main() -> None:
     hi = run_level(args.hi, args.pages, args.seed, args.exec_mem_mb)
     assert lo["entity_map_rows"] == hi["entity_map_rows"], (
         "entity map differs between cluster sizes"
+    )
+    assert lo["entity_map_hash"] == hi["entity_map_hash"], (
+        "entity-map CONTENT differs between cluster sizes"
     )
     ratio = args.hi / args.lo
     eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])

@@ -67,6 +67,21 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     em = DedupePipeline(PipelineConfig(), store).run(spark, pages)
     rows = em.count()
     secs = time.perf_counter() - t0
+    # content equivalence across levels, not just row counts: an
+    # order-insensitive hash of the cluster ASSIGNMENT (sum of per-row
+    # xxhash64 — commutative, so partitioning/ordering can't affect it;
+    # float cluster_score is excluded: per-cluster float aggregation
+    # order may legally differ between parallelism levels)
+    import pyspark.sql.functions as F
+
+    em_hash = str(
+        em.select(
+            # ANSI mode: a long SUM overflows; accumulate in decimal(38,0)
+            F.sum(
+                F.xxhash64("record_id", "cluster_id").cast("decimal(38,0)")
+            ).alias("h")
+        ).collect()[0]["h"]
+    )
     # per-stage wall clocks straight from the checkpoint metadata the run
     # already wrote (sources/checkpoint.py meta.json) — identifies which
     # stage scales worst between the two levels, at zero measurement cost
@@ -86,6 +101,7 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
                 "secs": round(secs, 2),
                 "pages_per_sec": round(pages_n / secs, 1),
                 "entity_map_rows": rows,
+                "entity_map_hash": em_hash,
                 "stage_walls": stage_walls,
             }
         )
@@ -136,6 +152,9 @@ def main() -> None:
     ratio = args.hi / args.lo
     eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
     assert lo["entity_map_rows"] == hi["entity_map_rows"], "nondeterministic output"
+    assert lo["entity_map_hash"] == hi["entity_map_hash"], (
+        "entity-map CONTENT differs between parallelism levels"
+    )
     print(
         json.dumps(
             {
