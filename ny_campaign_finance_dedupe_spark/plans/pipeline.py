@@ -276,8 +276,18 @@ class DedupePipeline:
         def stage(idx: int, name: str, build):
             if idx < start and self.store.has(name, p):
                 return self.store.read(spark, name)
-            df = build()
-            return self.store.write(df, name, params=p)
+            # job group = stage name: attributes this stage's Spark jobs
+            # in the UI/REST so per-stage executor telemetry
+            # (tools/stage_telemetry.py: task retries, GC, CPU-vs-wall)
+            # can be aggregated per pipeline stage; cleared afterwards so
+            # untagged work (run stats, caller actions) stays outside
+            sc = spark.sparkContext
+            sc.setJobGroup(f"pipeline:{name}", f"pipeline stage {name}")
+            try:
+                df = build()
+                return self.store.write(df, name, params=p)
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
 
         extracted = stage(0, "extract", lambda: self.extract(pages))
         signed = stage(1, "signatures", lambda: self.signatures(extracted))

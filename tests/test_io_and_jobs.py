@@ -327,3 +327,35 @@ def test_entity_map_identical_across_topologies(spark, tmp_path):
     )
     assert threads["entity_map_rows"] == cluster["entity_map_rows"] == 2000
     assert threads["entity_map_hash"] == cluster["entity_map_hash"]
+
+
+def test_scaling_worker_stage_telemetry():
+    """The scaling worker's per-stage executor telemetry (UI REST,
+    tools/stage_telemetry.py) must cover every pipeline stage with
+    consistent units: run_s > 0, 0 < cpu_s (CPU can exceed run on
+    multi-threaded codegen but not by orders of magnitude), zero failed
+    tasks on a healthy run. This is the instrument that adjudicates the
+    recurring signatures-at-hi anomaly (BASELINE.md): steal inflates
+    run_s with cpu_s flat; worker death shows as failed_tasks."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "scaling_bench.py"),
+         "--worker", "--pages", "2000", "--seed", "11", "--cores", "2"],
+        capture_output=True, text=True, timeout=420,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    assert out.returncode == 0 and line.startswith("{"), out.stderr[-2000:]
+    rec = json.loads(line)
+    exec_m = rec.get("stage_exec")
+    assert exec_m, "stage_exec telemetry missing from worker output"
+    for st in ("extract", "signatures", "block", "pairs", "score", "cluster"):
+        assert st in exec_m, f"no telemetry for stage {st}"
+        m = exec_m[st]
+        assert m["run_s"] > 0, (st, m)
+        assert m["cpu_s"] > 0, (st, m)
+        assert m["failed_tasks"] == 0, (st, m)

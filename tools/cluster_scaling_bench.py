@@ -71,6 +71,10 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
             # compare (without this, the extract stage scales
             # NEGATIVELY 2 -> 8 executors on this VM).
             "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=2",
+            # UI on for the post-run per-stage executor telemetry
+            # snapshot (tools/stage_telemetry.py)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
         },
     )
     spark.sparkContext.addPyFile(pyzip)
@@ -108,6 +112,13 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
             stage_walls[st] = round(
                 json.loads(mp.read_text())["wall_clock_s"], 2
             )
+    # best-effort executor telemetry (never fails the measurement)
+    try:
+        from tools.stage_telemetry import stage_exec_metrics
+
+        stage_exec = stage_exec_metrics(spark)
+    except Exception:
+        stage_exec = None
     shutil.rmtree(ckpt_root, ignore_errors=True)
     print(
         json.dumps(
@@ -119,6 +130,7 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
                 "entity_map_rows": rows,
                 "entity_map_hash": em_hash,
                 "stage_walls": stage_walls,
+                "stage_exec": stage_exec,
             }
         )
     )

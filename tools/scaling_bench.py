@@ -54,7 +54,16 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
         f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
-        extra_conf={"spark.driver.memory": f"{4 * cores}g"},
+        extra_conf={
+            "spark.driver.memory": f"{4 * cores}g",
+            # UI on (ephemeral port): sole consumer is the post-run REST
+            # telemetry snapshot (tools/stage_telemetry.py) — per-stage
+            # executor run/CPU/GC time, task retries, spill, which
+            # adjudicate anomalous per-stage walls (BASELINE.md
+            # signatures post-mortem)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages, _ = synth_pages(spark, n_pages=pages_n, seed=seed, partitions=2 * cores)
@@ -92,6 +101,13 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
             stage_walls[st] = round(
                 json.loads(mp.read_text())["wall_clock_s"], 2
             )
+    # best-effort executor telemetry (never fails the measurement)
+    try:
+        from tools.stage_telemetry import stage_exec_metrics
+
+        stage_exec = stage_exec_metrics(spark)
+    except Exception:
+        stage_exec = None
     shutil.rmtree(ckpt_root, ignore_errors=True)
     print(
         json.dumps(
@@ -103,6 +119,7 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
                 "entity_map_rows": rows,
                 "entity_map_hash": em_hash,
                 "stage_walls": stage_walls,
+                "stage_exec": stage_exec,
             }
         )
     )
