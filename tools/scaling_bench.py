@@ -32,7 +32,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def worker(cores: int, pages_n: int, seed: int) -> None:
+def worker(
+    cores: int, pages_n: int, seed: int, partitions: int = 0
+) -> None:
     import shutil
 
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
@@ -50,10 +52,18 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     # memory 4x smaller at the hi level — an anti-scaling bias no
     # cluster has (visible as hi-side spill once the input outgrows the
     # heap, e.g. at 2M pages).
+    # partitions=0 (legacy protocol): shuffle partitions track the core
+    # count (2 per core). partitions>0 (data-sized protocol): the SAME
+    # partition count at both levels — how a real cluster is tuned
+    # (partitions sized to data volume, with AQE coalescing the small
+    # ones), and what removes the lo-level's under-partitioning spill
+    # (4 partitions over a ~13 GB pairs shuffle at 2 cores spills ~3.8 GB
+    # per the stage_exec telemetry; 8 cores/16 partitions does not —
+    # an artifact no real deployment of either size would exhibit).
     spark = get_spark(
         f"scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=2 * cores,
+        shuffle_partitions=partitions or 2 * cores,
         extra_conf={
             "spark.driver.memory": f"{4 * cores}g",
             # UI on (ephemeral port): sole consumer is the post-run REST
@@ -66,7 +76,9 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages, _ = synth_pages(spark, n_pages=pages_n, seed=seed, partitions=2 * cores)
+    pages, _ = synth_pages(
+        spark, n_pages=pages_n, seed=seed, partitions=partitions or 2 * cores
+    )
     pages = pages.persist()
     pages.count()  # materialize input outside the timed region
     os.makedirs(scratch_dir(), exist_ok=True)
@@ -125,7 +137,7 @@ def worker(cores: int, pages_n: int, seed: int) -> None:
     )
 
 
-def run_level(cores: int, pages_n: int, seed: int) -> dict:
+def run_level(cores: int, pages_n: int, seed: int, partitions: int = 0) -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -137,6 +149,8 @@ def run_level(cores: int, pages_n: int, seed: int) -> dict:
             str(pages_n),
             "--seed",
             str(seed),
+            "--partitions",
+            str(partitions),
         ],
         capture_output=True,
         text=True,
@@ -157,12 +171,18 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=8, help="N cores")
     ap.add_argument("--hi", type=int, default=32, help="4N cores")
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="shuffle/input partition count at BOTH levels (0 = legacy 2*cores)",
+    )
     args = ap.parse_args()
     if args.worker:
-        worker(args.cores, args.pages, args.seed)
+        worker(args.cores, args.pages, args.seed, args.partitions)
         return
-    lo = run_level(args.lo, args.pages, args.seed)
-    hi = run_level(args.hi, args.pages, args.seed)
+    lo = run_level(args.lo, args.pages, args.seed, args.partitions)
+    hi = run_level(args.hi, args.pages, args.seed, args.partitions)
     # per-core-normalized: divide by the ACTUAL core ratio, not a fixed
     # 4 (a --lo 2 --hi 6 run would otherwise report 0.75 for perfect
     # scaling)
