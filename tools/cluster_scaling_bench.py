@@ -34,7 +34,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
+def worker(
+    execs: int, pages_n: int, seed: int, exec_mem_mb: int, partitions: int = 0
+) -> None:
     import shutil
 
     from ny_campaign_finance_dedupe_spark.plans.pipeline import (
@@ -55,7 +57,9 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
     spark = get_spark(
         f"cluster-scaling-{execs}",
         master=f"local-cluster[{execs},1,{exec_mem_mb}]",
-        shuffle_partitions=2 * execs,
+        # partitions>0: data-sized protocol — same count both levels
+        # (see tools/scaling_bench.py); 0 = legacy 2 per executor
+        shuffle_partitions=partitions or 2 * execs,
         extra_conf={
             # local-cluster requires executor.memory == the master
             # string's memMB or the worker refuses the allocation
@@ -80,7 +84,7 @@ def worker(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> None:
     spark.sparkContext.addPyFile(pyzip)
     spark.sparkContext.setLogLevel("ERROR")
     pages, _ = synth_pages(
-        spark, n_pages=pages_n, seed=seed, partitions=2 * execs
+        spark, n_pages=pages_n, seed=seed, partitions=partitions or 2 * execs
     )
     pages = pages.persist()
     pages.count()  # materialize input outside the timed region
@@ -149,7 +153,9 @@ def _build_pyfiles() -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
-def run_level(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> dict:
+def run_level(
+    execs: int, pages_n: int, seed: int, exec_mem_mb: int, partitions: int = 0
+) -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -163,6 +169,8 @@ def run_level(execs: int, pages_n: int, seed: int, exec_mem_mb: int) -> dict:
             str(seed),
             "--exec-mem-mb",
             str(exec_mem_mb),
+            "--partitions",
+            str(partitions),
         ],
         capture_output=True,
         text=True,
@@ -192,12 +200,18 @@ def main() -> None:
         "4N executors bring 4x total memory, like a real scale-up)",
     )
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="shuffle/input partition count at BOTH levels (0 = legacy 2*execs)",
+    )
     args = ap.parse_args()
     if args.worker:
-        worker(args.execs, args.pages, args.seed, args.exec_mem_mb)
+        worker(args.execs, args.pages, args.seed, args.exec_mem_mb, args.partitions)
         return
-    lo = run_level(args.lo, args.pages, args.seed, args.exec_mem_mb)
-    hi = run_level(args.hi, args.pages, args.seed, args.exec_mem_mb)
+    lo = run_level(args.lo, args.pages, args.seed, args.exec_mem_mb, args.partitions)
+    hi = run_level(args.hi, args.pages, args.seed, args.exec_mem_mb, args.partitions)
     assert lo["entity_map_rows"] == hi["entity_map_rows"], (
         "entity map differs between cluster sizes"
     )
