@@ -42,8 +42,18 @@ def _perm_constants(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _minhash_one(hs, a_u: np.ndarray, b_u: np.ndarray):
-    """One row: shingle-hash list -> (k,) int64 signature.
+def _as_u64(hs) -> np.ndarray:
+    """Shingle-hash list/array -> contiguous uint64 view, ZERO-copy when
+    the element already arrives as an int64 ndarray (the Arrow->pandas
+    shape for array<long>): int64 -> uint64 is a bit reinterpretation
+    (two's complement == the mod-2^64 cast ``astype`` would compute),
+    so ``view`` replaces the per-row array copy ``astype`` made."""
+    h = np.ascontiguousarray(np.asarray(hs, dtype=np.int64))
+    return h.view(np.uint64)
+
+
+def _minhash_u64(h: np.ndarray, a_u: np.ndarray, b_u: np.ndarray):
+    """One converted row: (s,) uint64 hashes -> (k,) int64 signature.
 
     Permutation family: v = a*h + b mod 2^64 (natural uint64 wraparound,
     multiply-shift style — Dietzfelbinger et al.); the min is taken over
@@ -54,15 +64,12 @@ def _minhash_one(hs, a_u: np.ndarray, b_u: np.ndarray):
     (total x k) blocks measured strictly slower (cache-bound, not
     dispatch-bound).
     """
-    if hs is None or len(hs) == 0:
-        return None
-    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
     v = a_u[:, None] * h[None, :] + b_u[:, None]
     return v.min(axis=1).astype(np.int64)
 
 
-def _simhash_one(hs, bits: int = 64):
-    """One row: token/shingle-hash list -> int simhash over ``bits`` bits.
+def _simhash_u64(h: np.ndarray, bits: int = 64):
+    """One converted row: (s,) uint64 hashes -> int simhash over ``bits``.
 
     Charikar bit-vote via unpackbits on the byte view (uint8 bit matrix:
     8x less memory traffic than int64 shifts; measured ~3.5x), re-packed
@@ -70,9 +77,6 @@ def _simhash_one(hs, bits: int = 64):
     vector truncation — the narrow-simhash contract of simhash_band_keys
     with matching ``bits``).
     """
-    if hs is None or len(hs) == 0:
-        return None
-    h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
     bitm = np.unpackbits(
         h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
@@ -84,6 +88,20 @@ def _simhash_one(hs, bits: int = 64):
     if bits < 64:
         val &= (1 << bits) - 1
     return val
+
+
+def _minhash_one(hs, a_u: np.ndarray, b_u: np.ndarray):
+    """One raw row (null-checked + converted) -> minhash signature."""
+    if hs is None or len(hs) == 0:
+        return None
+    return _minhash_u64(_as_u64(hs), a_u, b_u)
+
+
+def _simhash_one(hs, bits: int = 64):
+    """One raw row (null-checked + converted) -> simhash value."""
+    if hs is None or len(hs) == 0:
+        return None
+    return _simhash_u64(_as_u64(hs), bits)
 
 
 def minhash_signature_udf(num_perm: int = 64, seed: int = 7):
@@ -123,6 +141,22 @@ def minhash_simhash_udf(num_perm: int = 64, seed: int = 7, bits: int = 64):
 
     def batch(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for grams in it:
+            # ONE pass over the batch: both signatures share the row's
+            # uint64 conversion and its (already cache-resident) hashes,
+            # instead of two .map passes that each re-read and re-convert
+            # every shingle array — the signatures stage is the pipeline's
+            # most memory-bandwidth-sensitive (see BASELINE.md anomaly
+            # post-mortem), so the duplicate pass is the first thing to go.
+            sigs: list = []
+            simhashes: list = []
+            for hs in grams:
+                if hs is None or len(hs) == 0:
+                    sigs.append(None)
+                    simhashes.append(None)
+                    continue
+                h = _as_u64(hs)
+                sigs.append(_minhash_u64(h, a_u, b_u))
+                simhashes.append(_simhash_u64(h, bits))
             # simhash MUST be built with pd.array(Int64): an object
             # series with Nones (or .astype("Int64") on one) round-trips
             # through float64 and zeroes the low ~11 bits of every hash
@@ -131,10 +165,8 @@ def minhash_simhash_udf(num_perm: int = 64, seed: int = 7, bits: int = 64):
             # candidate pairs.
             yield pd.DataFrame(
                 {
-                    "sig": grams.map(lambda hs: _minhash_one(hs, a_u, b_u)),
-                    "simhash": pd.array(
-                        [_simhash_one(v, bits) for v in grams], dtype="Int64"
-                    ),
+                    "sig": pd.Series(sigs, index=grams.index, dtype="object"),
+                    "simhash": pd.array(simhashes, dtype="Int64"),
                 }
             )
 

@@ -93,6 +93,18 @@ def test_topk_compiles_to_take_ordered(plans):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
+def test_no_row_at_a_time_python_udf(plans):
+    """input_hint mandates 'vectorized pandas/Arrow UDFs (no per-row
+    Python) throughout'. A row-at-a-time Python UDF plans as
+    BatchEvalPython (pickle per row, no Arrow batching, ~10-100x slower
+    than ArrowEvalPython); one slipping into any driver query would
+    silently violate the contract. Arrow-batched pandas UDFs plan as
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas and remain
+    allowed."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
 def test_aggregates_have_partial_phase(plans):
     """The headline aggregation queries must keep map-side partial
     aggregation (two HashAggregate levels). Losing the partial phase
