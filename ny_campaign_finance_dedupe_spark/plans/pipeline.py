@@ -64,6 +64,21 @@ class PipelineConfig:
     use_hac: bool = False
     max_component: int = clustering.MAX_COMPONENT
     lang_filter: str | None = None
+    # Compact block keys to 64-bit xxhash64 before the blocking map is
+    # checkpointed / shuffled. The string keys ("mh|<band>|<hex>",
+    # "dom_sh|<domain>|<band>", ~30-60 bytes) are only ever compared for
+    # EQUALITY downstream (cap count, pair self-join, salt grid), so an
+    # 8-byte injective-enough stand-in carries the same information at
+    # ~1/5 the shuffle + checkpoint byte volume — the block stage is the
+    # pipeline's most bandwidth-bound after signatures (2->8-core
+    # executor-CPU inflation +29-134% across the round-4 telemetry
+    # draws, BASELINE.md). Collisions merge two blocks (~26M keys in a
+    # 64-bit space: P(any) ~ 2e-5 at 2M pages) which only ADDS candidate
+    # pairs that scoring then rejects — never drops a true pair.
+    # None = compact exactly when the fast hash family runs; the
+    # portable family keeps strings so the DuckDB oracle can recompute
+    # every key (functions/portable.py contract).
+    compact_block_keys: bool | None = None
     model: dict = field(
         default_factory=lambda: scoring.LogisticModel().to_dict()
     )
@@ -200,6 +215,15 @@ class DedupePipeline:
 
     def block(self, extracted: DataFrame) -> DataFrame:
         bm = blocking.build_blocking_map(extracted, "url", self.predicates())
+        compact = self.cfg.compact_block_keys
+        if compact is None:
+            compact = not self.cfg.portable_hashing
+        if compact:
+            # before cap_blocks so BOTH shuffles of the map (cap count +
+            # pair join) and the stage checkpoint carry 8-byte longs
+            bm = bm.select(
+                F.xxhash64("block_key").alias("block_key"), "record_id"
+            )
         return blocking.cap_blocks(bm, self.cfg.max_block_size)
 
     def gen_pairs(self, blocking_map: DataFrame) -> DataFrame:

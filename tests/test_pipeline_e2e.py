@@ -235,3 +235,33 @@ def test_synth_skew_zero_is_byte_identical(spark):
     tpl = [r for r in c.collect() if "template" in r["url"]]
     assert 30 <= len(tpl) <= 90  # ~20% of 300, binomial spread
     assert all(r["text"] is not None for r in tpl)
+
+
+def test_compact_block_keys_semantics_and_type(spark):
+    """Block-key compaction (fast-family default) is a physical choice,
+    never a semantic one: the 64-bit xxhash64 keys must yield the
+    IDENTICAL entity map to the string keys on the same corpus, and the
+    compact map must actually carry longs (8 bytes/key through the cap
+    shuffle, the pair self-join, and the stage checkpoint) while the
+    portable family keeps oracle-recomputable strings."""
+    from pyspark.sql.types import LongType, StringType
+
+    pages, _ = synth_pages(spark, n_pages=1200, seed=7)
+    pages = pages.localCheckpoint()
+    maps = {}
+    for compact in (False, True):
+        pipe = DedupePipeline(PipelineConfig(compact_block_keys=compact))
+        ext = pipe.extract(pages).localCheckpoint()
+        bm = pipe.block(pipe.signatures(ext)).localCheckpoint()
+        want = LongType() if compact else StringType()
+        assert bm.schema["block_key"].dataType == want
+        scored = pipe.score(pipe.gen_pairs(bm), ext)
+        em = pipe.cluster(scored, ext)
+        maps[compact] = {
+            (r["record_id"], r["cluster_id"]) for r in em.collect()
+        }
+    assert maps[False] == maps[True]
+    # the portable family resolves the None default to strings
+    pipe = DedupePipeline(PipelineConfig(portable_hashing=True))
+    bm = pipe.block(pipe.signatures(pipe.extract(pages.limit(50))))
+    assert bm.schema["block_key"].dataType == StringType()
