@@ -27,7 +27,10 @@ for i in $(seq 1 18); do
   M=$(python tools/cpu_ceiling.py --procs 2 8 --secs 10 --kernel mem 2>/dev/null |
       python -c "import sys,json; print(json.load(sys.stdin)['ceiling']['2->8'])")
   echo "mem ceiling: $M" >> "$LOG"
-  if [ "$(python -c "print(1 if $M >= $GATE else 0)")" = "1" ]; then break; fi
+  # a ratio >1.15 means the 2-proc side of the probe was itself squeezed
+  # (observed: a 2.165 reading two probes after a 0.552) — that is a
+  # VOLATILE window, not a clean one, so only ratios in [gate, 1.15] launch
+  if [ "$(python -c "print(1 if $GATE <= $M <= 1.15 else 0)")" = "1" ]; then break; fi
   sleep 140
 done
 echo "=== gate open, launching draw $TAG $(date +%H:%M:%S)" >> "$LOG"
