@@ -35,6 +35,47 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+def word_ngram_hashes(col: Column, n: int) -> Column:
+    """array<long> ids of the distinct contiguous word n-grams of a text
+    column WITHOUT materializing the n-gram strings — the fast-family
+    twin of ``shingle_hashes(keygen.word_ngrams(col, n))``.
+
+    Each token's bytes are hashed ONCE (xxhash64 of the short token),
+    then the n shifted slices of the token-hash array fold elementwise
+    with the native multi-argument ``xxhash64(acc, next)`` combiner in a
+    zip_with chain (the keygen._ngram_zip shape, over 8-byte longs
+    instead of strings). The string formulation copies every token's
+    bytes into up to n concat_ws gram buffers and re-hashes them from
+    each — per-token allocation and memory traffic the signatures stage
+    pays at 2M+ rows on the shared bus (BASELINE.md: block/signatures
+    are the two stages whose executor CPU inflates 2->8 cores; this
+    removes the JVM-side share of that traffic).
+
+    Values differ from ``xxhash64(gram_string)`` by design: MinHash /
+    SimHash need any well-mixed stable 64-bit id per distinct shingle,
+    not a specific one (fast-vs-portable family equivalence is
+    behavioral, pinned by test_family_equivalence.py). The portable
+    family keeps string grams so the DuckDB oracle can recompute them.
+    Distinctness applies AFTER hashing (array_distinct over longs ==
+    distinct grams modulo 2^-64 collisions). NULL text -> empty array
+    (matching word_ngrams' _empty_if_null contract so downstream
+    null-signature gating is unchanged); < n tokens -> empty array.
+    """
+    words = F.split(col, r"\s+")
+    th = F.transform(words, lambda w: F.xxhash64(w))
+    m = F.size(th) - (n - 1)
+    slices = [F.slice(th, k + 1, m) for k in range(n)]
+    g = slices[0]
+    for s in slices[1:]:
+        g = F.zip_with(g, s, lambda x, y: F.xxhash64(x, y))
+    grams = F.when(m <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(g)
+    )
+    return F.when(col.isNull(), F.array().cast("array<bigint>")).otherwise(
+        grams
+    )
+
+
 def _perm_constants(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_61, size=num_perm, dtype=np.int64)

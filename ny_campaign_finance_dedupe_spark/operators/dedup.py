@@ -276,7 +276,9 @@ def minhash_candidate_pairs(
         .withColumn(
             "sig",
             hashing.minhash_signature_udf(num_perm)(
-                hashing.shingle_hashes(keygen.word_ngrams(F.col("t"), shingle_words))
+                # fast family: token-hash-combined shingle ids, no gram
+                # strings materialized (hashing.word_ngram_hashes)
+                hashing.word_ngram_hashes(F.col("t"), shingle_words)
             ),
         )
         .where(F.col("sig").isNotNull())

@@ -165,20 +165,22 @@ class DedupePipeline:
         the stage boundary.
         """
         cfg = self.cfg
-        shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
         exact_key = F.sha2(F.col("ntext"), 256).alias("exact_key")
         head = ["url", "warc_ts", "lang"]
         if cfg.portable_hashing:
             from ..functions import portable
 
+            shingles = keygen.word_ngrams(F.col("ntext"), cfg.shingle_words)
             return extracted.select(
                 *head,
                 exact_key,
                 portable.minhash_sig(shingles, cfg.minhash_perms).alias("sig"),
                 portable.simhash32(shingles).alias("simhash"),
             )
+        # fast family: token-hash-combined shingle ids — no gram strings
+        # ever materialize JVM-side (see hashing.word_ngram_hashes)
         fused = hashing.minhash_simhash_udf(cfg.minhash_perms)(
-            hashing.shingle_hashes(shingles)
+            hashing.word_ngram_hashes(F.col("ntext"), cfg.shingle_words)
         )
         return extracted.withColumn("_s", fused).select(
             *head,

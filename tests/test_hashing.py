@@ -151,3 +151,63 @@ def test_lsh_topk_recall_at_default_geometry(spark):
     assert sweep.analytic_recall(0.99, 8, 12) >= 0.99
     got = sweep.measured_recall(spark, cosine=0.99, bands=8, bits=12)
     assert got >= 0.99, f"recall@10 {got} below 0.99 at default geometry"
+
+
+def test_word_ngram_hashes_matches_gram_set_size(spark):
+    """The string-free shingle ids must be one-to-one with the string
+    grams: same per-row count as array_distinct'd word_ngrams (nulls,
+    short texts, and repeated grams included), and deterministic."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f",
+        "a a a a a",          # one distinct trigram
+        None,                  # -> empty (word_ngrams contract)
+        "one two",             # < n tokens -> empty
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    out = df.select(
+        "id",
+        F.size(hashing.word_ngram_hashes(F.col("t"), 3)).alias("nh"),
+        F.size(keygen.word_ngrams(F.col("t"), 3)).alias("ng"),
+    ).collect()
+    for r in out:
+        assert r["nh"] == r["ng"], f"row {r['id']}: {r['nh']} != {r['ng']}"
+    a = df.select(hashing.word_ngram_hashes(F.col("t"), 3).alias("h")).collect()
+    b = df.select(hashing.word_ngram_hashes(F.col("t"), 3).alias("h")).collect()
+    assert [r["h"] for r in a] == [r["h"] for r in b]
+
+
+def test_word_ngram_hashes_order_sensitive(spark):
+    """Same token multiset, different order -> different shingle ids
+    (the combine is a fold, not a commutative mix)."""
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "z y x"), (2, "x y z")], "id long, t string"
+    )
+    rows = {
+        r["id"]: list(r["h"])
+        for r in df.select(
+            "id", hashing.word_ngram_hashes(F.col("t"), 3).alias("h")
+        ).collect()
+    }
+    assert len(rows[0]) == len(rows[1]) == 1
+    assert rows[0] != rows[1]
+    assert rows[0] == rows[2]
+
+
+def test_word_ngram_hashes_minhash_recall_on_planted_dup(spark):
+    """End-to-end through the fast minhash operator: a planted near-dup
+    pair must surface as a candidate with high est_jaccard under the
+    token-hash-combined shingles."""
+    from ny_campaign_finance_dedupe_spark.operators import dedup
+
+    base = "w%d " * 30
+    texts = [(i, (base % tuple(range(i * 40, i * 40 + 30)))) for i in range(20)]
+    texts.append((100, texts[0][1] + "tail"))  # near-dup of doc 0
+    df = spark.createDataFrame(texts, "id long, t string")
+    pairs = dedup.minhash_candidate_pairs(df, "id", "t").collect()
+    dedup.release(dedup.minhash_candidate_pairs(df, "id", "t"))
+    hits = {(r["src"], r["dst"]): r["est_jaccard"] for r in pairs}
+    assert (0, 100) in hits and hits[(0, 100)] > 0.7
