@@ -22,6 +22,7 @@ PAGES=${3:-2000000}
 cd "$(dirname "$0")/.."
 mkdir -p "/tmp/$TAG"
 LOG="/tmp/$TAG/draw.log"
+STREAK=0
 for i in $(seq 1 18); do
   echo "=== gate probe $i $(date +%H:%M:%S)" >> "$LOG"
   M=$(python tools/cpu_ceiling.py --procs 2 8 --secs 10 --kernel mem 2>/dev/null |
@@ -29,9 +30,20 @@ for i in $(seq 1 18); do
   echo "mem ceiling: $M" >> "$LOG"
   # a ratio >1.15 means the 2-proc side of the probe was itself squeezed
   # (observed: a 2.165 reading two probes after a 0.552) — that is a
-  # VOLATILE window, not a clean one, so only ratios in [gate, 1.15] launch
-  if [ "$(python -c "print(1 if $GATE <= $M <= 1.15 else 0)")" = "1" ]; then break; fi
-  sleep 140
+  # VOLATILE window, not a clean one, so only ratios in [gate, 1.15] count.
+  # Require TWO consecutive in-band probes before launching: single
+  # in-band readings inside the volatile regime launched I2 (0.939 ->
+  # post-bracket 0.73) and I3 (1.019 two probes after a 0.200) straight
+  # into collapsing windows — one probe measures an instant, a streak
+  # measures a window.
+  if [ "$(python -c "print(1 if $GATE <= $M <= 1.15 else 0)")" = "1" ]; then
+    STREAK=$((STREAK+1))
+    if [ "$STREAK" -ge 2 ]; then break; fi
+    sleep 60
+  else
+    STREAK=0
+    sleep 140
+  fi
 done
 echo "=== gate open, launching draw $TAG $(date +%H:%M:%S)" >> "$LOG"
 python tools/cpu_ceiling.py --procs 2 8 --secs 15 --kernel cpu >> "$LOG" 2>/dev/null
