@@ -53,6 +53,14 @@ BITS_PER_KEY = 16
 N_HASHES = 8
 MIN_BITS = 1 << 13  # floor so tiny buckets still spread bits (1 KiB)
 
+#: Above this total bitmap size the probe stops broadcasting the index
+#: and shuffle-joins on the bucket column instead. 256 MiB is well under
+#: Spark's practical broadcast ceiling (the driver must hold and ship
+#: every executor a full copy); a 10^11-key history at 16 bits/key is a
+#: ~200 GB index, which no broadcast survives but the bucket join
+#: handles by sending each task 1/n_buckets of the bitmaps.
+BROADCAST_MAX_BYTES = 256 << 20
+
 
 def payload_key(payload: Column) -> Column:
     """sha2 content key with the repo's NULL-marker convention."""
@@ -132,27 +140,57 @@ def bloom_probe(
     *,
     n_buckets: int = 64,
     n_hashes: int = N_HASHES,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Batch columns + ``bloom_maybe`` (false => certainly not in history).
 
-    The index is broadcast (it is small by design) and the membership
-    test is one Arrow-batched kernel; rows in a batch share few distinct
-    bitmaps, so the kernel factorizes on the blob and tests each group
-    with vectorized numpy bit probes.
+    Join strategy (the 100x-scale knob):
+
+    - ``'broadcast'`` — ship the whole index to every executor. Right
+      whenever the total bitmap fits comfortably in executor memory.
+    - ``'join'`` — shuffle-join batch rows to index rows on the bucket
+      column. Each task receives 1/n_buckets of the batch plus ONE
+      bucket's bitmap, so a 10^11-key (~200 GB) index never has to
+      exist in one place. Parallelism is capped at ``n_buckets`` —
+      size it accordingly when choosing this path at scale.
+    - ``'auto'`` (default) — one cheap agg over the index's
+      ``n_buckets`` rows sums the bitmap bytes and picks: broadcast
+      below ``broadcast_max_bytes``, bucket join above. The agg is an
+      extra job; pass an explicit strategy (or a persisted prebuilt
+      index, the production shape) to skip it.
+
+    The membership test kernel is identical under both strategies: rows
+    in a batch share few distinct bitmaps, so the Arrow-batched kernel
+    factorizes on the blob and tests each group with vectorized numpy
+    bit probes.
     """
+    if strategy == "auto":
+        tot_bits = index.agg(F.sum("m")).collect()[0][0] or 0
+        strategy = (
+            "broadcast" if tot_bits // 8 <= broadcast_max_bytes else "join"
+        )
     key_col = F.col(key) if isinstance(key, str) else key
     h1, h2 = _hash_cols(key_col)
-    probed = batch.withColumns(
+    keyed = batch.withColumns(
         {
             "_bb": F.pmod(h1, F.lit(n_buckets)).cast("int"),
             "_h1": h1,
             "_h2": h2,
         }
-    ).join(
-        F.broadcast(index.withColumnRenamed("bucket", "_bb")),
-        "_bb",
-        "left",
     )
+    idx = index.withColumnRenamed("bucket", "_bb")
+    if strategy == "broadcast":
+        probed = keyed.join(F.broadcast(idx), "_bb", "left")
+    elif strategy == "join":
+        # shuffle_hash hint: keeps Catalyst/AQE from auto-broadcasting a
+        # statistically-small-looking index whose rows are huge blobs,
+        # and avoids sorting bitmap rows (merge join would).
+        probed = keyed.join(idx.hint("shuffle_hash"), "_bb", "left")
+    else:
+        raise ValueError(
+            f"bloom_probe strategy must be auto|broadcast|join, got {strategy!r}"
+        )
 
     import numpy as np
 
@@ -194,6 +232,7 @@ def bloom_novelty(
     bits_per_key: int = BITS_PER_KEY,
     n_hashes: int = N_HASHES,
     index: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """EXACT set of batch rows whose payload does not appear in history.
 
@@ -216,7 +255,8 @@ def bloom_novelty(
             n_hashes=n_hashes,
         )
     flagged = bloom_probe(
-        keyed, index, F.col("_k"), n_buckets=n_buckets, n_hashes=n_hashes
+        keyed, index, F.col("_k"), n_buckets=n_buckets, n_hashes=n_hashes,
+        strategy=strategy,
     )
     certain_novel = flagged.filter(~F.col("bloom_maybe"))
     hist_keys = history.select(payload_key(F.col(payload)).alias("_k")).distinct()

@@ -117,3 +117,63 @@ def test_prebuilt_index_reuse(spark, corpus):
     out2 = bloom.bloom_novelty(b2, history, "doc_id", "text", index=index, n_buckets=8)
     assert out1.count() == 0  # b1 fully inside history
     assert out2.count() == 50  # b2 fully novel
+
+def test_join_strategy_matches_broadcast(spark, corpus):
+    """Forced multi-bucket bucket-join probe must flag exactly the same
+    rows as the broadcast probe — the kernel is shared, only the join
+    topology differs."""
+    history = corpus.filter(F.col("doc_id") % 3 != 0)
+    key = bloom.payload_key(F.col("text"))
+    index = bloom.build_bloom_index(history, key, n_buckets=16).localCheckpoint()
+    keyed = corpus.select(F.col("doc_id").alias("record_id"), key.alias("_k"))
+    bc = bloom.bloom_probe(
+        keyed, index, F.col("_k"), n_buckets=16, strategy="broadcast"
+    )
+    jn = bloom.bloom_probe(
+        keyed, index, F.col("_k"), n_buckets=16, strategy="join"
+    )
+    rows_bc = sorted((r["record_id"], r["bloom_maybe"]) for r in bc.collect())
+    rows_jn = sorted((r["record_id"], r["bloom_maybe"]) for r in jn.collect())
+    assert rows_bc == rows_jn
+    # spot-check multiple buckets actually exist in the index
+    assert index.select("bucket").distinct().count() > 1
+
+
+def test_auto_strategy_debroadcasts_over_threshold(spark, corpus):
+    """Planted 10x-over-threshold index: auto must pick the bucket join
+    (no BroadcastHashJoin in the plan), and the novelty answer must stay
+    exact. Threshold is shrunk instead of building a multi-GB index."""
+    history = corpus.filter(F.col("doc_id") % 4 != 0)
+    key = bloom.payload_key(F.col("text"))
+    index = bloom.build_bloom_index(history, key, n_buckets=8).localCheckpoint()
+    tot_bytes = index.agg(F.sum("m")).collect()[0][0] // 8
+    keyed = corpus.select(F.col("doc_id").alias("record_id"), key.alias("_k"))
+    flagged = bloom.bloom_probe(
+        keyed, index, F.col("_k"), n_buckets=8,
+        strategy="auto", broadcast_max_bytes=tot_bytes // 10,
+    )
+    plan = flagged._sc._jvm.PythonSQLUtils.explainString(
+        flagged._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # and the guarantee still holds end to end on the join path
+    assert flagged.filter(~F.col("bloom_maybe")).count() == corpus.count() - history.count()
+
+
+def test_auto_strategy_broadcasts_under_threshold(spark, corpus):
+    key = bloom.payload_key(F.col("text"))
+    index = bloom.build_bloom_index(corpus, key, n_buckets=8).localCheckpoint()
+    keyed = corpus.select(F.col("doc_id").alias("record_id"), key.alias("_k"))
+    flagged = bloom.bloom_probe(keyed, index, F.col("_k"), n_buckets=8)
+    plan = flagged._sc._jvm.PythonSQLUtils.explainString(
+        flagged._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bad_strategy_raises(spark, corpus):
+    key = bloom.payload_key(F.col("text"))
+    index = bloom.build_bloom_index(corpus, key, n_buckets=4)
+    with pytest.raises(ValueError, match="strategy"):
+        bloom.bloom_probe(corpus, index, key, n_buckets=4, strategy="nope")

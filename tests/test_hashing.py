@@ -207,7 +207,8 @@ def test_word_ngram_hashes_minhash_recall_on_planted_dup(spark):
     texts = [(i, (base % tuple(range(i * 40, i * 40 + 30)))) for i in range(20)]
     texts.append((100, texts[0][1] + "tail"))  # near-dup of doc 0
     df = spark.createDataFrame(texts, "id long, t string")
-    pairs = dedup.minhash_candidate_pairs(df, "id", "t").collect()
-    dedup.release(dedup.minhash_candidate_pairs(df, "id", "t"))
+    pairs_df = dedup.minhash_candidate_pairs(df, "id", "t")
+    pairs = pairs_df.collect()
+    dedup.release(pairs_df)
     hits = {(r["src"], r["dst"]): r["est_jaccard"] for r in pairs}
     assert (0, 100) in hits and hits[(0, 100)] > 0.7

@@ -38,14 +38,22 @@ for i in $(seq 1 18); do
   # measures a window.
   if [ "$(python -c "print(1 if $GATE <= $M <= 1.15 else 0)")" = "1" ]; then
     STREAK=$((STREAK+1))
-    if [ "$STREAK" -ge 2 ]; then break; fi
+    if [ "$STREAK" -ge 2 ]; then OPEN=1; break; fi
     sleep 60
   else
     STREAK=0
     sleep 140
   fi
 done
-echo "=== gate open, launching draw $TAG $(date +%H:%M:%S)" >> "$LOG"
+if [ "${OPEN:-0}" = "1" ]; then
+  echo "=== gate open, launching draw $TAG $(date +%H:%M:%S)" >> "$LOG"
+else
+  # 18 probes exhausted without a 2-probe in-band streak: the window never
+  # went clean.  Still launch (a draw with honest labeling beats no data),
+  # but say so — downstream analysis must treat this draw as
+  # contaminated-window, not gate-passed.
+  echo "=== gate NEVER OPENED (probe budget exhausted), launching anyway — treat draw $TAG as contaminated-window $(date +%H:%M:%S)" >> "$LOG"
+fi
 python tools/cpu_ceiling.py --procs 2 8 --secs 15 --kernel cpu >> "$LOG" 2>/dev/null
 python tools/scaling_bench.py --pages "$PAGES" --lo 2 --hi 8 --partitions 64 >> "$LOG" 2>/dev/null
 echo "=== post ceilings $(date +%H:%M:%S)" >> "$LOG"
