@@ -923,12 +923,21 @@ def _passage_windows_arr(words: Column, window: int) -> Column:
     ).otherwise(F.array().cast("array<struct<start:int,win:string>>"))
 
 
+#: Token count at which passage_dedup's kept-token rebuild switches from
+#: the interpreted expression filter to the Arrow mask kernel. Web pages
+#: sit around 10^3 tokens; 16k tokens is ~10x the p99 of the synth/web
+#: corpus, so the Python round-trip is paid only by outlier documents
+#: whose covered-span count could make the expression form quadratic.
+PASSAGE_ARROW_MIN_TOKENS = 16_384
+
+
 def passage_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     window: int = 8,
     min_sites: int = 2,
+    arrow_min_tokens: int = PASSAGE_ARROW_MIN_TOKENS,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-passage removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
@@ -951,10 +960,19 @@ def passage_dedup(
     linearly in duplicate occurrences (each site appears once); the
     per-document rebuild state is bounded by document length. The one
     hash caveat matches the repo's xxhash64 convention: at 10^12-token
-    corpora swap in a 128-bit split key. The kept-token filter is an
-    interpreted higher-order expression, O(tokens x covered-spans) per
-    doc — fine for web pages (10^3-10^4 tokens); route pathological
-    multi-MB docs through an Arrow kernel if they appear.
+    corpora swap in a 128-bit split key.
+
+    Kept-token rebuild: docs shorter than ``arrow_min_tokens`` go through
+    the higher-order-expression filter (interpreted,
+    O(tokens x covered-spans) per doc — fine for web pages at 10^3-10^4
+    tokens, and it keeps the plan codegen-adjacent with no Python
+    round-trip). Docs at or above the threshold route through an Arrow
+    kernel that paints a boolean numpy mask from the duplicate starts —
+    O(tokens + dup_sites x window) — so a pathological multi-MB doc with
+    many duplicated spans cannot go quadratic in one task. The two paths
+    are output-identical (pinned by
+    test_passage_dedup_arrow_kernel_matches_expr); set the threshold to
+    0 / a huge value to force one path.
     """
     base = df.select(
         F.col(id_col).alias("record_id"),
@@ -982,7 +1000,20 @@ def passage_dedup(
         wins.join(dup, "wh")
         .groupBy("record_id")
         .agg(F.collect_list("start").alias("starts"))
+        .persist()
     )
+    hydrated = base.join(starts, "record_id", "left")
+    small = hydrated.where(F.size("words") < arrow_min_tokens)
+    big = hydrated.where(F.size("words") >= arrow_min_tokens)
+    out = _passage_rebuild_expr(small, window).unionByName(
+        _passage_rebuild_arrow(big, window)
+    )
+    return _tag_persisted(out, base, starts)
+
+
+def _passage_rebuild_expr(hydrated: DataFrame, window: int) -> DataFrame:
+    """Kept-token rebuild as pure Catalyst expressions (the small-doc
+    path): expand starts to the covered index set, filter by index."""
     covered = F.coalesce(
         F.array_distinct(
             F.flatten(
@@ -994,19 +1025,54 @@ def passage_dedup(
         ),
         F.array().cast("array<int>"),
     )
-    hydrated = base.join(starts, "record_id", "left").withColumn(
-        "covered", covered
-    )
+    with_cov = hydrated.withColumn("covered", covered)
     kept = F.filter(
         F.col("words"),
         lambda w, i: ~F.array_contains(F.col("covered"), i.cast("int")),
     )
-    return _tag_persisted(
-        hydrated.select(
-            "record_id",
-            F.array_join(kept, " ").alias("clean_text"),
-            F.size("words").alias("n_tokens"),
-            (F.size("words") - F.size(kept)).cast("int").alias("n_removed"),
-        ),
-        base,
+    return with_cov.select(
+        "record_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("words").alias("n_tokens"),
+        (F.size("words") - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
+def _passage_rebuild_arrow(hydrated: DataFrame, window: int) -> DataFrame:
+    """Kept-token rebuild as an Arrow mask kernel (the long-doc path):
+    paint mask[start : start+window] per duplicate site, keep the
+    unmasked tokens — O(tokens + sites x window) per doc, no per-token
+    array_contains scan. Output-identical to the expression form."""
+    import numpy as np
+    import pandas as pd
+
+    # NB: no pd.Series annotations — `pandas` is imported lazily in this
+    # function and PEP-563 string hints naming it would fail pyspark's
+    # type-hint resolution at decoration time.
+    @F.pandas_udf("clean_text string, n_tokens int, n_removed int")
+    def rebuild(words, starts):
+        texts: list[str] = []
+        n_toks: list[int] = []
+        n_rm: list[int] = []
+        for w, st in zip(words, starts):
+            n = len(w)
+            mask = np.zeros(n, dtype=bool)
+            if st is not None:
+                for s in st:
+                    mask[s : s + window] = True
+            removed = int(mask.sum())
+            if removed:
+                arr = np.asarray(w, dtype=object)
+                texts.append(" ".join(arr[~mask]))
+            else:
+                texts.append(" ".join(w))
+            n_toks.append(n)
+            n_rm.append(removed)
+        return pd.DataFrame(
+            {"clean_text": texts, "n_tokens": n_toks, "n_removed": n_rm}
+        )
+
+    out = hydrated.withColumn("o", rebuild("words", "starts"))
+    return out.select(
+        "record_id", "o.clean_text", "o.n_tokens", "o.n_removed"
     )

@@ -958,3 +958,58 @@ def test_hot_ngrams_doc_frequency_not_term_frequency(spark):
         ("a a", 1),
         ("m n", 1),
     ]
+
+
+def test_passage_dedup_arrow_kernel_matches_expr(spark):
+    """The two kept-token rebuild paths must be output-identical. Drive
+    the same mixed corpus (shared spans, within-doc repeat, clean doc,
+    short doc, empty) through forced-expr (threshold huge) and
+    forced-arrow (threshold 0) and compare every row."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, f"intro {shared} outro"),
+        (2, f"{shared} tail words here"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "completely unique document body with no duplicate spans at all"),
+        (5, "short doc"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(threshold):
+        out = dedup.passage_dedup(
+            df, "doc_id", "text", window=8, arrow_min_tokens=threshold
+        )
+        rows_ = sorted(
+            (r["record_id"], r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in out.collect()
+        )
+        dedup.release(out)
+        return rows_
+
+    expr_rows = run(10**9)
+    arrow_rows = run(0)
+    assert expr_rows == arrow_rows
+    # sanity: the shared span actually got removed on both paths
+    by_id = {r[0]: r for r in expr_rows}
+    assert by_id[1][1] == "intro outro"
+    assert by_id[3][3] > 0
+
+
+def test_passage_dedup_default_threshold_routes_long_doc_to_arrow(spark):
+    """A doc over PASSAGE_ARROW_MIN_TOKENS tokens takes the Arrow path
+    (mixed with short docs through the default entrypoint) and still
+    rebuilds correctly."""
+    long_tokens = [f"w{i}" for i in range(dedup.PASSAGE_ARROW_MIN_TOKENS + 64)]
+    dup_span = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [
+        (1, " ".join(long_tokens) + f" {dup_span}"),
+        (2, f"{dup_span} something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.passage_dedup(df, "doc_id", "text", window=8)
+    got = {r["record_id"]: r for r in out.collect()}
+    dedup.release(out)
+    assert got[1]["n_removed"] == 8
+    assert got[1]["clean_text"] == " ".join(long_tokens)
+    assert got[2]["clean_text"] == "something else entirely"
