@@ -239,3 +239,117 @@ def test_stateful_ingest_dedup_with_counts(spark, tmp_path):
         "https://a.com/2",
         "https://a.com/3",
     }
+
+
+# ---- composed crawl pipeline (streaming/crawl.py) ----
+
+
+def test_match_novel_batch_composition(spark, tmp_path):
+    """The composed batch kernel: exact re-crawls are suppressed by the
+    Bloom stage, near-duplicate novel pages adopt their gazetteer
+    match's cluster, fresh pages found singleton clusters."""
+    from ny_campaign_finance_dedupe_spark.streaming import crawl
+
+    pages, _ = synth_pages(spark, n_pages=200, seed=11, dup_rate=0.0)
+    history = pages.localCheckpoint()
+    cfg = PipelineConfig()
+    keys, bidx = crawl.build_history_index(history, n_buckets=8)
+    keys = keys.localCheckpoint()
+    bidx = bidx.localCheckpoint()
+    index = incremental.build_index(history, cfg).localCheckpoint()
+
+    one = history.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            # exact re-crawl of a history page under a new url -> suppressed
+            ("https://re.example.com/a", one["warc_ts"], one["html"],
+             one["text"], one["lang"]),
+            # near-duplicate (one extra token) -> novel, matched
+            ("https://near.example.com/b", one["warc_ts"], None,
+             one["text"] + " zzzextra", one["lang"]),
+            # fresh page -> novel singleton
+            ("https://fresh.example.com/c", None, None,
+             "entirely new vocabulary never appearing in the corpus qqq",
+             "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    out = {
+        r["record_id"]: r
+        for r in crawl.match_novel_batch(
+            batch, keys, bidx, index, cfg, n_buckets=8
+        ).collect()
+    }
+    assert "https://re.example.com/a" not in out  # suppressed as known
+    near = out["https://near.example.com/b"]
+    assert near["matched"] and near["cluster_id"] == one["url"]
+    assert near["cluster_score"] > 0.9
+    fresh = out["https://fresh.example.com/c"]
+    assert (not fresh["matched"]) and fresh["cluster_id"] == fresh["record_id"]
+    assert fresh["cluster_score"] == 1.0
+
+
+def test_crawl_pipeline_restart_resumes(spark, tmp_path):
+    """End-to-end streaming composition with checkpoint restart: tick 1
+    processes the first file set; a restarted query against the same
+    checkpoint must NOT re-append tick-1 batches and must pick up the
+    new file."""
+    from ny_campaign_finance_dedupe_spark.streaming import crawl
+
+    pages, _ = synth_pages(spark, n_pages=150, seed=13, dup_rate=0.0)
+    history = pages.localCheckpoint()
+    cfg = PipelineConfig()
+    keys, bidx = crawl.build_history_index(history, n_buckets=8)
+    keys = keys.localCheckpoint()
+    bidx = bidx.localCheckpoint()
+    index = incremental.build_index(history, cfg).localCheckpoint()
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "entity_map")
+    ckpt = str(tmp_path / "ckpt")
+    one = history.limit(1).collect()[0]
+
+    t1 = spark.createDataFrame(
+        [
+            ("https://t1.example.com/near", one["warc_ts"], None,
+             one["text"] + " zzzextra", one["lang"]),
+            ("https://t1.example.com/fresh", None, None,
+             "first tick fresh page with novel words qqq", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    t1.write.mode("append").parquet(src)
+    q1 = crawl.start_crawl_pipeline(
+        spark, src, keys, bidx, index, cfg, out, ckpt, PAGES_SCHEMA,
+        n_buckets=8,
+    )
+    q1.awaitTermination(120)
+    got1 = spark.read.parquet(out).collect()
+    assert {r["record_id"] for r in got1} == {
+        "https://t1.example.com/near", "https://t1.example.com/fresh"
+    }
+
+    # tick 2: ONE new file; restart against the same checkpoint
+    t2 = spark.createDataFrame(
+        [("https://t2.example.com/fresh", None, None,
+          "second tick fresh page with different novel words www", "en")],
+        PAGES_SCHEMA,
+    )
+    t2.write.mode("append").parquet(src)
+    q2 = crawl.start_crawl_pipeline(
+        spark, src, keys, bidx, index, cfg, out, ckpt, PAGES_SCHEMA,
+        n_buckets=8,
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out).collect()
+    counts = {}
+    for r in got2:
+        counts[r["record_id"]] = counts.get(r["record_id"], 0) + 1
+    # exactly-once at file granularity: nothing duplicated on restart
+    assert counts == {
+        "https://t1.example.com/near": 1,
+        "https://t1.example.com/fresh": 1,
+        "https://t2.example.com/fresh": 1,
+    }
+    near = {r["record_id"]: r for r in got2}["https://t1.example.com/near"]
+    assert near["matched"] and near["cluster_id"] == one["url"]
