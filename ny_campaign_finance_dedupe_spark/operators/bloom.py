@@ -254,6 +254,13 @@ def bloom_novelty(
             bits_per_key=bits_per_key,
             n_hashes=n_hashes,
         )
+        if strategy == "auto":
+            # auto's size agg is an ACTION: without a materialization
+            # barrier it would run the whole index build once for the
+            # agg and again for the probe (measured +0.5 s at sf0.1;
+            # at scale, two full history scans). Prebuilt-index callers
+            # (the production shape) manage their own persistence.
+            index = index.localCheckpoint()
     flagged = bloom_probe(
         keyed, index, F.col("_k"), n_buckets=n_buckets, n_hashes=n_hashes,
         strategy=strategy,

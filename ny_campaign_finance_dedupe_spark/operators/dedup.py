@@ -1000,8 +1000,20 @@ def passage_dedup(
         wins.join(dup, "wh")
         .groupBy("record_id")
         .agg(F.collect_list("start").alias("starts"))
-        .persist()
     )
+    # Route split only when a long doc actually exists: the split plan
+    # (two filtered branches + union + a pandas-UDF stage) costs ~2 s of
+    # extra scheduling/exchange at sf0.1 even when the Arrow branch is
+    # empty (measured), so the common all-short corpus keeps the old
+    # single-branch pure-expression plan. The max-length probe is one
+    # agg over the already-persisted token arrays.
+    max_len = base.agg(F.max(F.size("words"))).collect()[0][0] or 0
+    if max_len < arrow_min_tokens:
+        out = _passage_rebuild_expr(
+            base.join(starts, "record_id", "left"), window
+        )
+        return _tag_persisted(out, base)
+    starts = starts.persist()
     hydrated = base.join(starts, "record_id", "left")
     small = hydrated.where(F.size("words") < arrow_min_tokens)
     big = hydrated.where(F.size("words") >= arrow_min_tokens)
