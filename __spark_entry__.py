@@ -979,6 +979,43 @@ def q_incremental_match(spark, sf_dir):
     )
 
 
+def q_crawl_entity_map(spark, sf_dir):
+    """The composed incremental crawl pipeline (streaming/crawl.py —
+    the foreachBatch production shape, driven here as its batch-callable
+    kernel): content-key the batch (every 7th doc), Bloom-probe it
+    against the indexed history (the rest), drop already-seen pages,
+    gazetteer-match the novel remainder (portable blocking -> features
+    -> logistic threshold 0.5), and emit the entity-map rows — matched
+    pages adopt their best match's url as cluster id, unmatched pages
+    found singletons. The Bloom stage is EXACT novelty regardless of
+    filter false positives, so the oracle mirrors it as a plain
+    NOT-IN on the (null-coalesced) canonical text, then reuses the
+    incremental_match CTEs for the match stage. cluster_score (a
+    sigmoid float) is excluded from the gate, matching the
+    incremental_match oracle's rank-not-score convention; restart/
+    checkpoint semantics are pinned by
+    tests/test_streaming.py::test_crawl_pipeline_restart_resumes."""
+    from ny_campaign_finance_dedupe_spark.streaming import crawl, incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _documents_as_pages(docs.withColumn(
+        "source", F.concat(F.col("source"), (F.col("doc_id") % 7).cast("string"))
+    ))
+    uid = F.regexp_extract(F.col("url"), r"/d/(\d+)$", 1).cast("long")
+    history = pages.where(uid % 7 != 0)
+    batch = pages.where(uid % 7 == 0)
+    cfg = _portable_cfg()
+    keys, bidx = crawl.build_history_index(history, n_buckets=8)
+    index = incremental.build_index(history, cfg)
+    return (
+        crawl.match_novel_batch(
+            batch, keys, bidx, index, cfg, n_buckets=8, threshold=0.5
+        )
+        .select("record_id", "cluster_id", "matched")
+        .orderBy("record_id")
+    )
+
+
 def q_salted_pairs(spark, sf_dir):
     """Skew-safe pair generation: hot-key bucket-grid salting MUST equal
     the plain blocking self-join (same oracle as
@@ -1205,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The displaced tail is re-verified locally with
     # tools/check_oracles.py and recorded in COVERAGE.md.
     return {
+        # -- brand-new in r5 (never driver-checked) --
+        "crawl_entity_map": q_crawl_entity_map,
         # -- no CORRECTNESS_r04 row (past the 50-query cap) — lead r5 --
         "identity_join": q_identity_join,
         "salted_pairs": q_salted_pairs,
@@ -1553,6 +1592,51 @@ def _incremental_match_sql() -> str:
                    ORDER BY z DESC, match_url) AS rank
           FROM sc) WHERE rank <= 1
         ORDER BY query_url
+    """
+
+
+def _crawl_entity_map_sql() -> str:
+    """Composed crawl oracle: exact novelty (the Bloom stage's RESULT is
+    exact by construction, so the mirror is a NOT-IN on the
+    null-coalesced canonical text — content-hash equality modulo sha2
+    collisions, the repo's standing hash convention) followed by the
+    incremental_match CTEs restricted to novel queries, then the
+    adopt-or-found COALESCE."""
+    pages = """
+        SELECT 'https://' || source || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+               text AS t,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS sd
+        FROM documents
+    """
+    z = _feat_z_sql("pa.ntext", "pb.ntext")
+    return f"""
+        WITH
+        {_er_prefix_sql(pages)},
+        histk AS MATERIALIZED (SELECT DISTINCT coalesce(ntext, url) AS k
+                 FROM ex WHERE sd = 0),
+        novel AS MATERIALIZED (
+          SELECT url FROM ex WHERE sd = 1
+            AND coalesce(ntext, url) NOT IN (SELECT k FROM histk)),
+        cand AS MATERIALIZED (SELECT DISTINCT q.url AS query_url, i.url AS match_url
+                 FROM bmk q JOIN bmk i ON q.block_key = i.block_key
+                 JOIN novel n ON n.url = q.url
+                 WHERE q.sd = 1 AND i.sd = 0),
+        sc AS MATERIALIZED (SELECT cand.query_url, cand.match_url, {z} AS z
+               FROM cand
+               JOIN ex pa ON pa.url = cand.query_url
+               JOIN ex pb ON pb.url = cand.match_url
+               WHERE {z} >= 0.0),
+        best AS (SELECT query_url, match_url FROM (
+                   SELECT query_url, match_url,
+                          ROW_NUMBER() OVER (PARTITION BY query_url
+                            ORDER BY z DESC, match_url) AS rnk
+                   FROM sc) WHERE rnk = 1)
+        SELECT n.url AS record_id,
+               coalesce(b.match_url, n.url) AS cluster_id,
+               b.match_url IS NOT NULL AS matched
+        FROM novel n LEFT JOIN best b ON b.query_url = n.url
+        ORDER BY record_id
     """
 
 
@@ -2092,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_pipeline": _er_pipeline_sql(),
         "incremental_match": _incremental_match_sql(),
+        "crawl_entity_map": _crawl_entity_map_sql(),
         "greedy_link": _greedy_link_sql(24),
         # bounded-vocabulary truth-table join (the DM state machine has
         # no general SQL form, but the gate input has exactly 30 distinct
