@@ -353,3 +353,39 @@ def test_crawl_pipeline_restart_resumes(spark, tmp_path):
     }
     near = {r["record_id"]: r for r in got2}["https://t1.example.com/near"]
     assert near["matched"] and near["cluster_id"] == one["url"]
+
+
+def test_match_novel_batch_forwards_bloom_strategy(spark):
+    """strategy='join' must reach the Bloom probe (bucket shuffle-join,
+    no broadcast of the index) and still produce the same entity map as
+    the broadcast path."""
+    from ny_campaign_finance_dedupe_spark.streaming import crawl
+
+    pages, _ = synth_pages(spark, n_pages=120, seed=17, dup_rate=0.0)
+    history = pages.localCheckpoint()
+    cfg = PipelineConfig()
+    keys, bidx = crawl.build_history_index(history, n_buckets=8)
+    keys = keys.localCheckpoint()
+    bidx = bidx.localCheckpoint()
+    index = incremental.build_index(history, cfg).localCheckpoint()
+    one = history.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [
+            ("https://re.example.com/x", one["warc_ts"], None,
+             one["text"], one["lang"]),
+            ("https://fresh.example.com/y", None, None,
+             "strategy forwarding fresh page vocabulary kkk", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    rows = {}
+    for strat in ("broadcast", "join"):
+        out = crawl.match_novel_batch(
+            batch, keys, bidx, index, cfg, n_buckets=8, strategy=strat
+        )
+        rows[strat] = sorted(
+            (r["record_id"], r["cluster_id"], r["matched"])
+            for r in out.collect()
+        )
+    assert rows["broadcast"] == rows["join"]
+    assert [r[0] for r in rows["join"]] == ["https://fresh.example.com/y"]
