@@ -1005,11 +1005,19 @@ def q_crawl_entity_map(spark, sf_dir):
     history = pages.where(uid % 7 != 0)
     batch = pages.where(uid % 7 == 0)
     cfg = _portable_cfg()
+    # history artifacts are built once and checkpointed (the production
+    # epoch shape build_history_index documents) — without the barrier
+    # the full history lineage (content-key UDF chain + bloom build +
+    # blocking) re-executes for every consumer; strategy is explicit so
+    # the probe never runs auto's size-agg job at construction time.
     keys, bidx = crawl.build_history_index(history, n_buckets=8)
-    index = incremental.build_index(history, cfg)
+    keys = keys.localCheckpoint()
+    bidx = bidx.localCheckpoint()
+    index = incremental.build_index(history, cfg).localCheckpoint()
     return (
         crawl.match_novel_batch(
-            batch, keys, bidx, index, cfg, n_buckets=8, threshold=0.5
+            batch, keys, bidx, index, cfg, n_buckets=8, threshold=0.5,
+            strategy="broadcast",
         )
         .select("record_id", "cluster_id", "matched")
         .orderBy("record_id")
@@ -1618,10 +1626,23 @@ def _crawl_entity_map_sql() -> str:
         novel AS MATERIALIZED (
           SELECT url FROM ex WHERE sd = 1
             AND coalesce(ntext, url) NOT IN (SELECT k FROM histk)),
+        -- the engine filters to novel pages BEFORE blocking, so the
+        -- batch side's block cap counts NOVEL members only (a block
+        -- crowded with suppressed re-crawls must not be dropped).
+        -- Re-cap bm over the novel subset instead of reusing bmk's
+        -- full-batch cap; 100 mirrors _er_prefix_sql's default cap.
+        keepn AS MATERIALIZED (
+          SELECT bm.block_key FROM bm JOIN novel n ON n.url = bm.url
+          WHERE bm.sd = 1
+          GROUP BY bm.block_key HAVING COUNT(*) <= 100),
+        bmn AS MATERIALIZED (
+          SELECT bm.url, bm.block_key FROM bm
+          JOIN novel n ON n.url = bm.url
+          JOIN keepn USING (block_key)
+          WHERE bm.sd = 1),
         cand AS MATERIALIZED (SELECT DISTINCT q.url AS query_url, i.url AS match_url
-                 FROM bmk q JOIN bmk i ON q.block_key = i.block_key
-                 JOIN novel n ON n.url = q.url
-                 WHERE q.sd = 1 AND i.sd = 0),
+                 FROM bmn q JOIN bmk i ON q.block_key = i.block_key
+                 WHERE i.sd = 0),
         sc AS MATERIALIZED (SELECT cand.query_url, cand.match_url, {z} AS z
                FROM cand
                JOIN ex pa ON pa.url = cand.query_url

@@ -222,6 +222,43 @@ def bloom_probe(
     ).drop("_bb", "_h1", "_h2", "m", "n_keys", "bloom")
 
 
+def novel_rows(
+    keyed: DataFrame,
+    key_col: str,
+    history_keys: DataFrame,
+    index: DataFrame,
+    *,
+    n_buckets: int = 64,
+    n_hashes: int = N_HASHES,
+    strategy: str = "auto",
+) -> DataFrame:
+    """EXACT subset of ``keyed`` whose ``key_col`` value is absent from
+    ``history_keys`` (a DataFrame carrying the same-named key column) —
+    the shared exactness-critical core of :func:`bloom_novelty` and the
+    streaming crawl pipeline: bloom-negative rows short-circuit (no
+    false negatives => certainly novel), only the positive remainder
+    pays the confirm anti-join, and the history side of that join is
+    its distinct key projection. Returns ``keyed``'s rows minus the
+    ``bloom_maybe`` scratch column."""
+    flagged = bloom_probe(
+        keyed,
+        index,
+        F.col(key_col),
+        n_buckets=n_buckets,
+        n_hashes=n_hashes,
+        strategy=strategy,
+    )
+    certain = flagged.where(~F.col("bloom_maybe")).drop("bloom_maybe")
+    confirmed = (
+        flagged.where(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+        .join(
+            history_keys.select(key_col).distinct(), key_col, "left_anti"
+        )
+    )
+    return certain.unionByName(confirmed)
+
+
 def bloom_novelty(
     batch: DataFrame,
     history: DataFrame,
@@ -261,17 +298,8 @@ def bloom_novelty(
             # at scale, two full history scans). Prebuilt-index callers
             # (the production shape) manage their own persistence.
             index = index.localCheckpoint()
-    flagged = bloom_probe(
-        keyed, index, F.col("_k"), n_buckets=n_buckets, n_hashes=n_hashes,
-        strategy=strategy,
-    )
-    certain_novel = flagged.filter(~F.col("bloom_maybe"))
-    hist_keys = history.select(payload_key(F.col(payload)).alias("_k")).distinct()
-    confirmed_novel = (
-        flagged.filter(F.col("bloom_maybe"))
-        .join(hist_keys, "_k", "left_anti")
-    )
-    return (
-        certain_novel.unionByName(confirmed_novel)
-        .select("record_id", F.col("_k").alias("novel_key"))
-    )
+    hist_keys = history.select(payload_key(F.col(payload)).alias("_k"))
+    return novel_rows(
+        keyed, "_k", hist_keys, index,
+        n_buckets=n_buckets, n_hashes=n_hashes, strategy=strategy,
+    ).select("record_id", F.col("_k").alias("novel_key"))

@@ -73,7 +73,6 @@ def match_novel_batch(
     cfg,
     *,
     n_buckets: int = 64,
-    n_matches: int = 1,
     threshold: float | None = None,
     strategy: str = "auto",
 ) -> DataFrame:
@@ -87,29 +86,15 @@ def match_novel_batch(
     plain batch call (how the tests drive it deterministically).
     """
     keyed = ingest.with_content_key(batch).select(*PAGE_COLS, "exact_key")
-    flagged = bloom.bloom_probe(
-        keyed,
-        bloom_index,
-        F.col("exact_key"),
-        n_buckets=n_buckets,
-        strategy=strategy,
+    novel = bloom.novel_rows(
+        keyed, "exact_key", history_keys, bloom_index,
+        n_buckets=n_buckets, strategy=strategy,
     )
-    certain = flagged.where(~F.col("bloom_maybe")).drop("bloom_maybe")
-    confirmed = (
-        flagged.where(F.col("bloom_maybe"))
-        .drop("bloom_maybe")
-        .join(
-            history_keys.select("exact_key").distinct(),
-            "exact_key",
-            "left_anti",
-        )
-    )
-    novel = certain.unionByName(confirmed)
     matches = incremental.match_batch(
         novel.select(*PAGE_COLS),
         index,
         cfg,
-        n_matches=n_matches,
+        n_matches=1,
         threshold=threshold,
     )
     best = matches.where(F.col("rank") == 1).select(
@@ -144,7 +129,6 @@ def start_crawl_pipeline(
     pages_schema,
     *,
     n_buckets: int = 64,
-    n_matches: int = 1,
     threshold: float | None = None,
     strategy: str = "auto",
     watermark: str = "1 hour",
@@ -160,6 +144,16 @@ def start_crawl_pipeline(
     start_incremental_matcher: foreachBatch itself never drops late
     rows, but a stateful stage added downstream inherits sane bounds.
     """
+    if strategy == "auto":
+        # The index is fixed for the query's lifetime: resolve the
+        # size-gated probe strategy ONCE here instead of paying the
+        # auto agg job inside every micro-batch.
+        tot_bits = bloom_index.agg(F.sum("m")).collect()[0][0] or 0
+        strategy = (
+            "broadcast"
+            if tot_bits // 8 <= bloom.BROADCAST_MAX_BYTES
+            else "join"
+        )
     stream = (
         spark.readStream.schema(pages_schema)
         .parquet(stream_source_dir)
@@ -174,7 +168,6 @@ def start_crawl_pipeline(
             index,
             cfg,
             n_buckets=n_buckets,
-            n_matches=n_matches,
             threshold=threshold,
             strategy=strategy,
         )

@@ -126,7 +126,6 @@ def worker(op: str, pages_n: int, cores: int, seed: int) -> None:
     before = _rest_totals(spark)
     t0 = time.perf_counter()
     err = None
-    n_out = None
     try:
         out = _build(op, docs, spark)
         # noop sink, NOT count(): count lets column pruning delete a
@@ -143,7 +142,6 @@ def worker(op: str, pages_n: int, cores: int, seed: int) -> None:
         "pages": pages_n,
         "cores": cores,
         "n_in": n_in,
-        "n_out": n_out,
         "wall_s": round(wall, 1),
         "error": err,
     }
@@ -173,7 +171,16 @@ def main() -> None:
             "--op", op, "--pages", str(args.pages),
             "--cores", str(args.cores), "--seed", str(args.seed),
         ]
-        r = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            # bound each operator so one wedged Spark job cannot stall
+            # the rest of the sweep (fresh-JVM isolation already
+            # intends per-operator blast radius)
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600
+            )
+        except subprocess.TimeoutExpired:
+            print(f"WING-FAIL {op} rc=timeout(3600s)", flush=True)
+            continue
         for ln in r.stdout.splitlines():
             if ln.startswith("WING "):
                 print(ln, flush=True)
