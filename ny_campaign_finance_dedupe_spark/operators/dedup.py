@@ -542,19 +542,28 @@ def segment_text(col: Column, seg_words: int = 10) -> Column:
     whitespace-tokenized text (last window partial) — the corpus'
     "paragraphs" when the payload carries no natural line structure.
     Pure Catalyst (split + sequence + slice), mirrored seg-for-seg by
-    the segment_dedup oracle's list-slice CTE."""
-    words = F.split(col, " ")
-    n = F.size(words)
-    nseg = F.floor((n + seg_words - 1) / seg_words).cast("int")
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.array_join(
-                F.slice(words, i * seg_words + 1, seg_words), " "
+    the segment_dedup oracle's list-slice CTE.
+
+    The token array is BOUND (keygen._bind) before the window walk:
+    higher-order lambdas are interpreted and re-evaluate captured outer
+    expressions per element, so an unbound ``split`` would re-tokenize
+    the text once per segment — O(tokens x segments) per doc (the
+    quality.py bigram lesson). Bound, the split runs once per row."""
+
+    def _segs(words: Column) -> Column:
+        n = F.size(words)
+        nseg = F.floor((n + seg_words - 1) / seg_words).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return keygen._bind(F.split(col, " "), _segs)
 
 
 #: Above this many distinct boilerplate segments the broadcast strategy
@@ -900,9 +909,13 @@ def passage_windows(
     text as array<struct<start:int, win:string>> (start is the 0-based
     token offset). Pure Catalyst (split + sequence + slice); the
     passage_dedup oracle mirrors it with a DuckDB list-slice CTE. A text
-    with fewer than ``window`` tokens yields an empty array."""
-    return _passage_windows_arr(
-        F.split(F.coalesce(text, F.lit("")), " "), window
+    with fewer than ``window`` tokens yields an empty array. The split
+    is bound first (see segment_text) so it runs once per row, not once
+    per window; passage_dedup itself materializes the token array into
+    a column before windowing, which bounds it the same way."""
+    return keygen._bind(
+        F.split(F.coalesce(text, F.lit("")), " "),
+        lambda words: _passage_windows_arr(words, window),
     )
 
 

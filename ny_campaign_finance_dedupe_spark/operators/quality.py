@@ -83,16 +83,20 @@ def hashed_feature_buckets(
         lambda t: bucket(F.concat(F.lit(salt + "1:"), t)),
     )
     n = F.size(toks)
+    # zip_with over two shifted slices, NOT transform over
+    # sequence(1, n-1) + element_at: higher-order lambdas are
+    # interpreted, and an outer array referenced inside the lambda
+    # (toks via element_at) is re-evaluated per ELEMENT — the split
+    # runs O(tokens) times per doc, making the bigram arm quadratic.
+    # Identical bucket VALUES (same concat string, both families);
+    # measured 35 s -> 4.6 s for the full fast-family scorer at 500k
+    # pages.
     bi = F.when(n < 2, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: bucket(
-                F.concat(
-                    F.lit(salt + "2:"),
-                    F.element_at(toks, i),
-                    F.lit(" "),
-                    F.element_at(toks, i + 1),
-                )
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: bucket(
+                F.concat(F.lit(salt + "2:"), a, F.lit(" "), b)
             ),
         )
     )
